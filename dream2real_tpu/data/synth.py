@@ -1,0 +1,234 @@
+"""Synthetic RGB-D scene generator (analytic ground truth).
+
+The reference has no test suite and relies on downloaded scan datasets
+(SURVEY.md §4). For hermetic tests/benchmarks we generate Dream2Real-format
+dataset directories (images/rgb_%04d.png, depth/depth_%04d.png in mm,
+poses.txt, masks) from an analytic scene: a ground plane plus axis-aligned
+colored boxes, rendered with exact ray-box intersection + lambertian shading.
+Every pixel has exact color/depth/instance-id ground truth, which lets us
+validate NeRF PSNR, TSDF fusion, physics checks and the full demo pipeline
+end-to-end without external data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from dream2real_tpu.ops import cameras
+
+
+@dataclasses.dataclass
+class Box:
+    lo: tuple[float, float, float]
+    hi: tuple[float, float, float]
+    color: tuple[float, float, float]
+
+
+@dataclasses.dataclass
+class SynthScene:
+    boxes: list[Box]
+    plane_z: float = 0.0
+    plane_color: tuple[float, float, float] = (0.75, 0.7, 0.65)
+    sky_color: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    centre: tuple[float, float, float] = (0.5, 0.0, 0.0)
+
+
+def default_scene() -> SynthScene:
+    """A shopping-like tabletop: table plane + three objects around centre.
+
+    Object 1 (red box) is the movable object; object 2 (green) is a 'shelf'
+    target; object 3 (blue) a distractor.
+    """
+    return SynthScene(
+        boxes=[
+            Box((0.42, -0.12, 0.0), (0.50, -0.04, 0.10), (0.85, 0.15, 0.10)),
+            Box((0.55, 0.05, 0.0), (0.68, 0.18, 0.06), (0.10, 0.75, 0.20)),
+            Box((0.36, 0.08, 0.0), (0.44, 0.16, 0.08), (0.15, 0.20, 0.85)),
+        ],
+        plane_z=0.0,
+        centre=(0.5, 0.0, 0.05),
+    )
+
+
+def look_at_pose(eye: np.ndarray, target: np.ndarray, up=(0, 0, 1)) -> np.ndarray:
+    """Camera-to-world pose, OpenCV convention (+z forward, +y down)."""
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, np.asarray(up, np.float64))
+    right = right / np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    T = np.eye(4)
+    T[:3, 0] = right
+    T[:3, 1] = down
+    T[:3, 2] = fwd
+    T[:3, 3] = eye
+    return T
+
+
+def orbit_poses(
+    centre, n: int, radius: float = 0.55, height: float = 0.45, sweep=2 * np.pi
+) -> np.ndarray:
+    """n camera poses on an arc orbiting the scene centre, looking at it."""
+    centre = np.asarray(centre, np.float64)
+    poses = []
+    for i in range(n):
+        ang = sweep * i / max(n, 1)
+        eye = centre + np.array(
+            [radius * np.cos(ang), radius * np.sin(ang), height]
+        )
+        poses.append(look_at_pose(eye, centre))
+    return np.stack(poses)
+
+
+def render_scene(
+    scene: SynthScene,
+    T_WC: np.ndarray,
+    intrinsics: np.ndarray,
+    h: int,
+    w: int,
+):
+    """Analytic render. Returns (rgb u8 (h,w,3) sRGB, depth_m f32 (h,w),
+    instance ids u8 (h,w): 0=plane/bg, 1..K=boxes, 255=sky)."""
+    dirs_cam = np.asarray(cameras.pixel_dirs(h, w, intrinsics))
+    R, t = T_WC[:3, :3], T_WC[:3, 3]
+    dirs = dirs_cam @ R.T  # (h, w, 3) world, z-normalized in cam frame
+    o = t[None, None, :]
+
+    t_best = np.full((h, w), np.inf, np.float64)
+    color = np.tile(np.asarray(scene.sky_color), (h, w, 1))
+    inst = np.full((h, w), 255, np.uint8)
+    normal = np.zeros((h, w, 3))
+
+    # Ground plane z = plane_z.
+    dz = dirs[..., 2]
+    t_plane = (scene.plane_z - t[2]) / np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+    hit = t_plane > 1e-4
+    upd = hit & (t_plane < t_best)
+    t_best = np.where(upd, t_plane, t_best)
+    color[upd] = scene.plane_color
+    inst[upd] = 0
+    normal[upd] = [0, 0, 1]
+
+    for k, box in enumerate(scene.boxes):
+        lo = np.asarray(box.lo)
+        hi = np.asarray(box.hi)
+        safe = np.where(np.abs(dirs) < 1e-9, 1e-9, dirs)
+        t_lo = (lo - o) / safe
+        t_hi = (hi - o) / safe
+        t0 = np.minimum(t_lo, t_hi)
+        t1 = np.maximum(t_lo, t_hi)
+        t_near = t0.max(axis=-1)
+        t_far = t1.min(axis=-1)
+        hit = (t_far > t_near) & (t_near > 1e-4)
+        upd = hit & (t_near < t_best)
+        t_best = np.where(upd, t_near, t_best)
+        # Face normal: the axis achieving t_near.
+        face_axis = np.argmax(t0, axis=-1)
+        n_sign = -np.sign(dirs[np.arange(h)[:, None], np.arange(w)[None, :], face_axis])
+        face_n = np.zeros((h, w, 3))
+        np.put_along_axis(face_n, face_axis[..., None], n_sign[..., None], axis=-1)
+        color[upd] = np.asarray(box.color)
+        inst[upd] = k + 1
+        normal[upd] = face_n[upd]
+
+    # Lambert shading from a fixed light direction (gives NeRF some view cue).
+    light = np.array([0.3, 0.2, 0.9])
+    light = light / np.linalg.norm(light)
+    lam = np.clip((normal * light).sum(-1), 0.0, 1.0) * 0.5 + 0.5
+    shaded = np.clip(color * lam[..., None], 0, 1)
+
+    depth = np.where(np.isfinite(t_best), t_best, 0.0).astype(np.float32)  # z-depth
+    rgb = (shaded * 255 + 0.5).astype(np.uint8)
+    return rgb, depth, inst
+
+
+def write_dataset(
+    out_dir: str,
+    scene: SynthScene | None = None,
+    n_views: int = 24,
+    h: int = 180,
+    w: int = 320,
+    intrinsics: np.ndarray | None = None,
+) -> dict:
+    """Write a Dream2Real-format dataset directory from an analytic scene.
+
+    Layout parity: data_loader.py:20-67 (images/rgb_%04d.png,
+    depth/depth_%04d.png in millimetres uint16, poses.txt = stacked 4x4
+    matrices) plus transforms.json (utils/accio2ngp.py:45-130 semantics),
+    ground-truth instance masks (masks/mask_%04d.png) and scene metadata.
+    """
+    from PIL import Image
+
+    scene = scene or default_scene()
+    if intrinsics is None:
+        f = 0.9 * w
+        intrinsics = np.array(
+            [[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1.0]]
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    for sub in ("images", "depth", "masks"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+    poses = orbit_poses(scene.centre, n_views)
+    frames = []
+    for i in range(n_views):
+        rgb, depth, inst = render_scene(scene, poses[i], intrinsics, h, w)
+        Image.fromarray(rgb).save(os.path.join(out_dir, "images", f"rgb_{i:04d}.png"))
+        depth_mm = np.clip(depth * 1000.0, 0, 65535).astype(np.uint16)
+        Image.fromarray(depth_mm).save(
+            os.path.join(out_dir, "depth", f"depth_{i:04d}.png")
+        )
+        Image.fromarray(inst).save(os.path.join(out_dir, "masks", f"mask_{i:04d}.png"))
+        # transforms.json frames are NGP-convention (y/z columns flipped,
+        # accio2ngp.py:81-84).
+        c2w = poses[i].copy()
+        c2w[:3, 1] *= -1
+        c2w[:3, 2] *= -1
+        frames.append(
+            {"file_path": f"./images/rgb_{i:04d}.png", "transform_matrix": c2w.tolist()}
+        )
+
+    np.savetxt(os.path.join(out_dir, "poses.txt"), poses.reshape(-1, 4))
+
+    transforms = {
+        "fl_x": intrinsics[0, 0],
+        "fl_y": intrinsics[1, 1],
+        "k1": 0.0, "k2": 0.0, "k3": 0.0, "k4": 0.0, "p1": 0.0, "p2": 0.0,
+        "is_fisheye": False,
+        "cx": intrinsics[0, 2],
+        "cy": intrinsics[1, 2],
+        "w": w, "h": h,
+        "aabb_scale": 2,
+        "scale": 1,
+        "offset": [0.0, 0.0, 0.0],
+        "frames": frames,
+    }
+    with open(os.path.join(out_dir, "transforms.json"), "w") as f:
+        json.dump(transforms, f, indent=2)
+
+    meta = {
+        "scene_centre": list(scene.centre),
+        "scene_phys_bounds": [[0.1, -0.5, -0.05], [0.9, 0.5, 0.6]],
+        "n_objects": len(scene.boxes),
+        "intrinsics": intrinsics.tolist(),
+        "h": h,
+        "w": w,
+        "boxes": [dataclasses.asdict(b) for b in scene.boxes],
+        "plane_z": scene.plane_z,
+    }
+    with open(os.path.join(out_dir, "synth_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "./synth_dataset"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    write_dataset(out, n_views=n)
+    print(f"Wrote synthetic dataset to {out}")

@@ -1,0 +1,245 @@
+"""NGP training loop: jitted step-chunks + the reference's convergence governor.
+
+Replaces the pyngp training driver (reference reconstruction/train_ngp.py:42-162):
+- ``while testbed.frame()`` -> a lax.scan of training steps compiled once and
+  invoked in chunks (TPU stays busy; the host only polls loss between chunks);
+- ``optimize_extrinsics`` (train_ngp.py:66) -> learnable per-image se(3)
+  deltas composed onto the initial camera poses;
+- ``random_bg_color`` alpha supervision (train_ngp.py:75, needed for the
+  RGBA-masked fg/bg task NeRFs, ngp_visual_model.py:39-46) -> per-ray random
+  background compositing of both target and prediction;
+- ``near_distance`` (train_ngp.py:77) -> marching near plane;
+- the dynamic-time-extension governor (train_ngp.py:98-143) -> same
+  stable-steps / relax-thresholds / extend-steps logic, polled per step-chunk
+  instead of per 0.1 s wall-clock tick.
+
+Multi-chip: rays are embarrassingly parallel; `train_chunk` accepts an
+optional jax.sharding.Sharding for the ray batch and replicates parameters
+(grads are combined by XLA's reduction of the sharded loss).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dream2real_tpu.nerf.model import NGPConfig, init_ngp_params
+from dream2real_tpu.nerf.render import RenderSettings, render_rays
+from dream2real_tpu.ops.image import linear_to_srgb, srgb_to_linear
+from dream2real_tpu.ops.se3 import make_pose, so3_exp
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    n_steps: int = 2000
+    batch_rays: int = 4096
+    lr: float = 1e-2
+    ext_lr: float = 3e-4
+    ext_start_step: int = 256
+    weight_decay: float = 1e-6
+    optimize_extrinsics: bool = False
+    # RGB-D depth supervision weight (TPU-build extension: the reference's
+    # scans are RGB-D, data_loader.py:58, but pyngp ignores depth; supervising
+    # expected ray depth recovers NGP-class convergence speed for the pure-MLP
+    # field). 0 disables.
+    depth_weight: float = 0.1
+    # Convergence governor (train_ngp.py:95-97).
+    stable_polls_thresh: int = 50
+    stable_loss_thresh: float = 2e-4
+    max_infinity_steps: int = 40000
+    poll_steps: int = 100  # steps per jitted chunk == one governor poll
+    dynamic_time_extension: bool = True
+    seed: int = 0
+
+
+def init_train_state(
+    cfg: NGPConfig, tc: TrainConfig, n_images: int
+) -> dict[str, Any]:
+    key = jax.random.PRNGKey(tc.seed)
+    params = {
+        "field": init_ngp_params(key, cfg),
+        "ext_rot": jnp.zeros((n_images, 3), jnp.float32),
+        "ext_trans": jnp.zeros((n_images, 3), jnp.float32),
+    }
+    tx = _make_optimizer(tc)
+    return {
+        "params": params,
+        "opt": tx.init(params),
+        "step": jnp.zeros((), jnp.int32),
+        "key": key,
+    }
+
+
+def _make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    def label_fn(params):
+        return {
+            "field": jax.tree.map(lambda _: "field", params["field"]),
+            "ext_rot": "ext",
+            "ext_trans": "ext",
+        }
+
+    field_tx = optax.chain(
+        optax.add_decayed_weights(tc.weight_decay),
+        optax.adam(tc.lr, b1=0.9, b2=0.99, eps=1e-15),
+    )
+    # NOTE: extrinsics need a *gentler* optimizer than the field. With adam
+    # eps=1e-15 every step moves each pose by ~ext_lr radians/metres no matter
+    # how small the gradient (sign-sgd regime) and joint pose+field training
+    # diverges; eps=1e-8 keeps updates proportional near convergence.
+    ext_tx = optax.adam(tc.ext_lr, b1=0.9, b2=0.99, eps=1e-8)
+    return optax.multi_transform({"field": field_tx, "ext": ext_tx}, label_fn)
+
+
+def optimized_poses(params, init_poses: jnp.ndarray) -> jnp.ndarray:
+    """Compose learned se(3) deltas onto initial camera-to-world poses.
+
+    init_poses (N, 4, 4) accio convention. Returns (N, 4, 4).
+    Replaces pyngp's get_camera_extrinsics export (train_ngp.py:220-226).
+    """
+    R_delta = so3_exp(params["ext_rot"])
+    delta = make_pose(R_delta, params["ext_trans"])
+    return jnp.matmul(init_poses, delta, precision=jax.lax.Precision.HIGHEST)
+
+
+def make_train_chunk(
+    cfg: NGPConfig,
+    tc: TrainConfig,
+    settings: RenderSettings,
+    images_rgba: jnp.ndarray,  # (N, H, W, 4) uint8, sRGB + alpha
+    init_poses: jnp.ndarray,  # (N, 4, 4) accio camera-to-world
+    dirs_cam: jnp.ndarray,  # (H, W, 3) z-normalized camera-frame pixel dirs
+    depths: jnp.ndarray | None = None,  # (N, H, W) float32 z-depth metres, 0=invalid
+    ray_sharding=None,
+):
+    """Build the jitted train_chunk(state) -> (state, mean_loss) function."""
+    n_img, h, w = images_rgba.shape[:3]
+
+    def sample_batch(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        img_idx = jax.random.randint(k1, (tc.batch_rays,), 0, n_img)
+        py = jax.random.randint(k2, (tc.batch_rays,), 0, h)
+        px = jax.random.randint(k3, (tc.batch_rays,), 0, w)
+        bg = jax.random.uniform(k4, (tc.batch_rays, 3))
+        return img_idx, py, px, bg
+
+    def loss_fn(params, key, step):
+        k_batch, k_render = jax.random.split(key)
+        img_idx, py, px, bg = sample_batch(k_batch)
+        target = images_rgba[img_idx, py, px].astype(jnp.float32) / 255.0
+        target_rgb = srgb_to_linear(target[:, :3])
+        target_a = target[:, 3]
+
+        if tc.optimize_extrinsics:
+            # Freeze extrinsics updates before ext_start_step by gating the
+            # delta (gradient flows but is zeroed by the gate -> no update).
+            gate = (step >= tc.ext_start_step).astype(jnp.float32)
+            poses = optimized_poses(
+                {
+                    "ext_rot": params["ext_rot"] * gate,
+                    "ext_trans": params["ext_trans"] * gate,
+                },
+                init_poses,
+            )
+        else:
+            poses = init_poses
+        T = poses[img_idx]  # (B, 4, 4)
+        d_cam = dirs_cam[py, px]  # (B, 3)
+        dirs = jnp.einsum("bij,bj->bi", T[:, :3, :3], d_cam)
+        origins = T[:, :3, 3]
+        if ray_sharding is not None:
+            origins = jax.lax.with_sharding_constraint(origins, ray_sharding)
+            dirs = jax.lax.with_sharding_constraint(dirs, ray_sharding)
+
+        out = render_rays(params["field"], cfg, origins, dirs, settings, k_render)
+        # Random-background alpha supervision (train_ngp.py:75).
+        pred = out["rgb"] + bg * (1.0 - out["alpha"][:, None])
+        tgt = target_rgb * target_a[:, None] + bg * (1.0 - target_a[:, None])
+        err = linear_to_srgb(jnp.clip(pred, 0.0, 1.0)) - linear_to_srgb(tgt)
+        loss = jnp.mean(optax.huber_loss(err, delta=0.1)) * 2.0
+        if depths is not None and tc.depth_weight > 0:
+            gt_d = depths[img_idx, py, px]
+            # Supervise only solid (alpha-masked-in) pixels with valid depth.
+            mask = (gt_d > 0) & (target_a > 0.5)
+            d_err = jnp.where(mask, out["depth"] - gt_d, 0.0)
+            loss = loss + tc.depth_weight * jnp.mean(
+                optax.huber_loss(d_err, delta=0.05)
+            )
+        return loss
+
+    tx = _make_optimizer(tc)
+
+    def one_step(carry, _):
+        params, opt, step, key = carry
+        key, sub = jax.random.split(key)
+        loss, grads = jax.value_and_grad(loss_fn)(params, sub, step)
+        if not tc.optimize_extrinsics:
+            grads["ext_rot"] = jnp.zeros_like(grads["ext_rot"])
+            grads["ext_trans"] = jnp.zeros_like(grads["ext_trans"])
+        updates, opt = tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt, step + 1, key), loss
+
+    @jax.jit
+    def train_chunk(state):
+        carry = (state["params"], state["opt"], state["step"], state["key"])
+        carry, losses = jax.lax.scan(one_step, carry, None, length=tc.poll_steps)
+        params, opt, step, key = carry
+        return (
+            {"params": params, "opt": opt, "step": step, "key": key},
+            losses.mean(),
+        )
+
+    return train_chunk
+
+
+def train_with_governor(
+    train_chunk,
+    state,
+    tc: TrainConfig,
+    log_fn=None,
+) -> tuple[dict, list[float]]:
+    """Run chunks under the dynamic-time-extension convergence governor.
+
+    Mirrors reconstruction/train_ngp.py:98-143: stop when `stable_polls`
+    consecutive polls see loss < stable_loss_thresh, or past the hard cap;
+    at n_steps, if not converged and dynamic extension is on, relax the
+    thresholds (x1.5 loss, /1.5 polls) and extend n_steps x1.3 up to 40k.
+    """
+    n_steps = tc.n_steps
+    stable_polls_thresh = tc.stable_polls_thresh
+    stable_loss_thresh = tc.stable_loss_thresh
+    stable_polls = 0
+    losses: list[float] = []
+
+    while True:
+        state, loss = train_chunk(state)
+        loss = float(loss)
+        step = int(state["step"])
+        losses.append(loss)
+        if log_fn is not None:
+            log_fn(step, loss)
+
+        if loss < stable_loss_thresh:
+            stable_polls += 1
+        else:
+            stable_polls = 0
+
+        if stable_polls > stable_polls_thresh or step > tc.max_infinity_steps:
+            break
+        if step >= n_steps:
+            if (
+                stable_polls > stable_polls_thresh and loss < stable_loss_thresh
+            ) or not tc.dynamic_time_extension:
+                break
+            stable_loss_thresh *= 1.5
+            stable_polls_thresh = int(stable_polls_thresh / 1.5)
+            n_steps = int(n_steps * 1.3)
+            if n_steps > tc.max_infinity_steps:
+                break
+    return state, losses

@@ -183,9 +183,16 @@ def gaussian_blur(img: jnp.ndarray, kernel_size: int, sigma: float) -> jnp.ndarr
 
 def linear_to_srgb(x: jnp.ndarray) -> jnp.ndarray:
     """Linear -> sRGB transfer (instant-ngp common.py semantics,
-    used at combined_rendering.py:150)."""
+    used at combined_rendering.py:150).
+
+    Differentiation-safe: the power branch's input is clamped away from 0
+    before jnp.power, else d/dx x^(1/2.4) -> inf at 0 and the where() grad
+    turns it into NaN (this is trained through in the NGP loss).
+    """
     x = jnp.clip(x, 0.0, 1.0)
-    return jnp.where(x <= 0.0031308, 12.92 * x, 1.055 * jnp.power(x, 1.0 / 2.4) - 0.055)
+    lo = x <= 0.0031308
+    x_safe = jnp.where(lo, 0.0031308, x)
+    return jnp.where(lo, 12.92 * x, 1.055 * jnp.power(x_safe, 1.0 / 2.4) - 0.055)
 
 
 def srgb_to_linear(x: jnp.ndarray) -> jnp.ndarray:

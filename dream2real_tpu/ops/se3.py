@@ -110,20 +110,25 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     Used for the learnable per-image extrinsics refinement (TPU equivalent of
     pyngp's optimize_extrinsics, reference reconstruction/train_ngp.py:66).
     """
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
-    theta = jnp.maximum(theta, 1e-12)
-    k = w / theta
-    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
-    zeros = jnp.zeros_like(kx)
+    # Unnormalized Rodrigues: R = I + A*K + B*K^2 with K = skew(w),
+    # A = sin(t)/t, B = (1-cos t)/t^2. Taylor branches + the safe-where trick
+    # keep both value AND gradient finite at w == 0 (a plain norm-and-divide
+    # version produces NaN grads at zero, which silently poisons joint
+    # pose+field optimisation).
+    theta_sq = jnp.sum(w * w, axis=-1, keepdims=True)
+    small = theta_sq < 1e-8
+    theta_sq_safe = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(theta_sq_safe)
+    A = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / theta_sq_safe)
+
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zeros = jnp.zeros_like(wx)
     K = jnp.stack(
-        [zeros, -kz, ky, kz, zeros, -kx, -ky, kx, zeros], axis=-1
+        [zeros, -wz, wy, wz, zeros, -wx, -wy, wx, zeros], axis=-1
     ).reshape(w.shape[:-1] + (3, 3))
-    th = theta[..., None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
-    R = eye + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * _mm(K, K)
-    # Small-angle fallback: first-order expansion.
-    small = (theta[..., None] < 1e-6)
-    return jnp.where(small, eye + K * th, R)
+    return eye + A[..., None] * K + B[..., None] * _mm(K, K)
 
 
 def make_pose(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
