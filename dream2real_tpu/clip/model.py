@@ -1,0 +1,205 @@
+"""CLIP dual-tower model in pure JAX (pytree params, bf16 MXU compute).
+
+Architecture matches openai/clip-vit-large-patch14-336 (the scorer the
+reference loads at clip_scoring.py:150-151) so that converted HF weights
+reproduce its logits; `CLIPConfig` also scales down for hermetic tests.
+
+Layout notes (TPU-first):
+- all heavy math is batched matmul/einsum in bf16 with f32 accumulation;
+- image batches of renders feed straight from the combined renderer without
+  leaving HBM;
+- parameters are a flat dict pytree -> trivially shardable/replicated with
+  jax.sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CLIPConfig(NamedTuple):
+    # Vision tower (ViT-L/14-336 defaults).
+    image_size: int = 336
+    patch_size: int = 14
+    vision_width: int = 1024
+    vision_layers: int = 24
+    vision_heads: int = 16
+    # Text tower.
+    vocab_size: int = 49408
+    context_length: int = 77
+    text_width: int = 768
+    text_layers: int = 12
+    text_heads: int = 12
+    # Joint embedding.
+    projection_dim: int = 768
+    # EOT/EOS token id for text pooling (HF pools the hidden state at the
+    # FIRST occurrence of eos_token_id; 49407 for the openai checkpoints).
+    eot_id: int = 49407
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+
+def _init_linear(key, d_in, d_out, scale=None):
+    scale = scale if scale is not None else d_in**-0.5
+    return {
+        "w": jax.random.normal(key, (d_in, d_out)) * scale,
+        "b": jnp.zeros((d_out,)),
+    }
+
+
+def _init_block(key, width, mlp_ratio=4):
+    ks = jax.random.split(key, 4)
+    return {
+        "ln1_g": jnp.ones((width,)), "ln1_b": jnp.zeros((width,)),
+        "qkv": _init_linear(ks[0], width, 3 * width),
+        "proj": _init_linear(ks[1], width, width),
+        "ln2_g": jnp.ones((width,)), "ln2_b": jnp.zeros((width,)),
+        "fc1": _init_linear(ks[2], width, mlp_ratio * width),
+        "fc2": _init_linear(ks[3], mlp_ratio * width, width),
+    }
+
+
+def init_clip_params(key: jax.Array, cfg: CLIPConfig) -> dict[str, Any]:
+    ks = jax.random.split(key, 8 + cfg.vision_layers + cfg.text_layers)
+    n_patches = cfg.grid * cfg.grid
+    p: dict[str, Any] = {
+        # Vision.
+        "v_patch_w": jax.random.normal(ks[0], (cfg.patch_size, cfg.patch_size, 3, cfg.vision_width)) * 0.02,
+        "v_class_emb": jax.random.normal(ks[1], (cfg.vision_width,)) * 0.02,
+        "v_pos_emb": jax.random.normal(ks[2], (n_patches + 1, cfg.vision_width)) * 0.02,
+        "v_ln_pre_g": jnp.ones((cfg.vision_width,)), "v_ln_pre_b": jnp.zeros((cfg.vision_width,)),
+        "v_ln_post_g": jnp.ones((cfg.vision_width,)), "v_ln_post_b": jnp.zeros((cfg.vision_width,)),
+        "v_proj": jax.random.normal(ks[3], (cfg.vision_width, cfg.projection_dim)) * cfg.vision_width**-0.5,
+        # Text.
+        "t_tok_emb": jax.random.normal(ks[4], (cfg.vocab_size, cfg.text_width)) * 0.02,
+        "t_pos_emb": jax.random.normal(ks[5], (cfg.context_length, cfg.text_width)) * 0.01,
+        "t_ln_final_g": jnp.ones((cfg.text_width,)), "t_ln_final_b": jnp.zeros((cfg.text_width,)),
+        "t_proj": jax.random.normal(ks[6], (cfg.text_width, cfg.projection_dim)) * cfg.text_width**-0.5,
+        "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32),
+    }
+    for i in range(cfg.vision_layers):
+        p[f"v_blk{i}"] = _init_block(ks[8 + i], cfg.vision_width)
+    for i in range(cfg.text_layers):
+        p[f"t_blk{i}"] = _init_block(ks[8 + cfg.vision_layers + i], cfg.text_width)
+    return p
+
+
+def _ln(x, g, b, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps) * g + b).astype(x.dtype)
+
+
+def _attn(x, blk, n_heads, mask=None, dtype=jnp.bfloat16):
+    B, T, W = x.shape
+    qkv = jnp.dot(x, blk["qkv"]["w"].astype(dtype), preferred_element_type=jnp.float32)
+    qkv = (qkv + blk["qkv"]["b"]).astype(dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    hd = W // n_heads
+
+    def heads(t):
+        return t.reshape(B, T, n_heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * (hd**-0.5)
+    if mask is not None:
+        logits = logits + mask
+    w = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, W).astype(dtype)
+    out = jnp.dot(out, blk["proj"]["w"].astype(dtype), preferred_element_type=jnp.float32)
+    return (out + blk["proj"]["b"]).astype(dtype)
+
+
+def _mlp_block(x, blk, dtype=jnp.bfloat16):
+    h = jnp.dot(x, blk["fc1"]["w"].astype(dtype), preferred_element_type=jnp.float32)
+    h = h + blk["fc1"]["b"]
+    # CLIP uses QuickGELU: x * sigmoid(1.702 x).
+    h = (h * jax.nn.sigmoid(1.702 * h)).astype(dtype)
+    h = jnp.dot(h, blk["fc2"]["w"].astype(dtype), preferred_element_type=jnp.float32)
+    return (h + blk["fc2"]["b"]).astype(dtype)
+
+
+def _block(x, blk, n_heads, mask=None, dtype=jnp.bfloat16):
+    x = x + _attn(_ln(x, blk["ln1_g"], blk["ln1_b"]), blk, n_heads, mask, dtype)
+    x = x + _mlp_block(_ln(x, blk["ln2_g"], blk["ln2_b"]), blk, dtype)
+    return x
+
+
+def encode_image(params, cfg: CLIPConfig, pixels: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """pixels: (B, H, W, 3) float32 normalized (CLIP mean/std) -> (B, D) UNnormalized embeddings."""
+    B = pixels.shape[0]
+    g, ps, W = cfg.grid, cfg.patch_size, cfg.vision_width
+    # Patchify as a reshaped matmul (a conv with stride=kernel==patch).
+    x = pixels.reshape(B, g, ps, g, ps, 3).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, g * g, ps * ps * 3).astype(dtype)
+    pw = params["v_patch_w"].reshape(ps * ps * 3, W).astype(dtype)
+    x = jnp.dot(x, pw, preferred_element_type=jnp.float32).astype(dtype)
+    cls = jnp.broadcast_to(params["v_class_emb"].astype(dtype), (B, 1, W))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["v_pos_emb"].astype(dtype)
+    x = _ln(x, params["v_ln_pre_g"], params["v_ln_pre_b"])
+    for i in range(cfg.vision_layers):
+        x = _block(x, params[f"v_blk{i}"], cfg.vision_heads, dtype=dtype)
+    x = _ln(x[:, 0], params["v_ln_post_g"], params["v_ln_post_b"])
+    return jnp.dot(
+        x.astype(jnp.float32), params["v_proj"], precision=jax.lax.Precision.DEFAULT
+    )
+
+
+def encode_text(params, cfg: CLIPConfig, ids: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """ids: (B, T) int32 padded to context_length -> (B, D) UNnormalized embeddings.
+
+    Pools the representation at the first occurrence of cfg.eot_id, matching
+    HF CLIPTextModel (for the openai vocab this is the EOT token; the
+    reference relies on the same pooling via CLIPModel, clip_scoring.py:180).
+    """
+    B, T = ids.shape
+    x = params["t_tok_emb"][ids].astype(dtype)
+    x = x + params["t_pos_emb"][:T].astype(dtype)
+    causal = jnp.full((T, T), -jnp.inf, jnp.float32)
+    causal = jnp.triu(causal, k=1)[None, None]
+    for i in range(cfg.text_layers):
+        x = _block(x, params[f"t_blk{i}"], cfg.text_heads, mask=causal, dtype=dtype)
+    x = _ln(x, params["t_ln_final_g"], params["t_ln_final_b"])
+    eot = jnp.argmax((ids == cfg.eot_id).astype(jnp.int32), axis=-1)
+    x = x[jnp.arange(B), eot]
+    return jnp.dot(x.astype(jnp.float32), params["t_proj"])
+
+
+def logits_per_image(params, img_emb: jnp.ndarray, txt_emb: jnp.ndarray) -> jnp.ndarray:
+    """(N, D), (M, D) -> (N, M) similarity logits, matching HF CLIPModel."""
+    ie = img_emb / jnp.linalg.norm(img_emb, axis=-1, keepdims=True)
+    te = txt_emb / jnp.linalg.norm(txt_emb, axis=-1, keepdims=True)
+    scale = jnp.exp(params["logit_scale"])
+    return scale * ie @ te.T
+
+
+# CLIPProcessor normalization constants (HF CLIPImageProcessor defaults).
+IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def preprocess_images(images_u8: jnp.ndarray, cfg: CLIPConfig) -> jnp.ndarray:
+    """(B, H, W, 3) uint8 sRGB -> normalized float pixels for encode_image.
+
+    The renders are already CLIP_RES x CLIP_RES so the processor's
+    resize/center-crop are identity; only rescale + normalize apply
+    (reference relies on CLIPProcessor, clip_scoring.py:177).
+    """
+    x = images_u8.astype(jnp.float32) / 255.0
+    if x.shape[1] != cfg.image_size or x.shape[2] != cfg.image_size:
+        from dream2real_tpu.ops.image import center_crop_square, resize_image
+
+        x = jax.vmap(
+            lambda im: resize_image(center_crop_square(im), (cfg.image_size, cfg.image_size))
+        )(x)
+    return (x - IMAGE_MEAN) / IMAGE_STD

@@ -1,0 +1,216 @@
+"""Batched fg/bg combined renderer — the imagination hot loop.
+
+Replaces reference reconstruction/combined_rendering.py:54-263. The reference
+loops over candidate poses in Python, crossing the Python->CUDA boundary twice
+per pose (Shade + Depth) and compositing in numpy on the CPU
+(combined_rendering.py:117-155, hot loop #4 in SURVEY.md §3.1). Here the whole
+thing is ONE compiled program: a lax.scan over the pose batch where each
+iteration renders Shade+Depth in a single ray march and composites on-device;
+pose batches can additionally be sharded across a device mesh (see
+dream2real_tpu.parallel).
+
+Semantics parity (combined_rendering.py:95-155):
+- bg rendered once per render view with opaque black background;
+- bg depth comes from GT depth rectified to the CLIP view with movable-object
+  pixels pushed to depth 100 (rectify_depth/rectify_mask, lines 107-110),
+  falling back to the bg NeRF's rendered depth;
+- per pose: virtual-camera trick (T_WC2 = f(T_WO1, T_WO2, T_WC1), lines
+  250-263), fg Shade+Depth render, per-pixel depth test (<0.05 -> 100 guard),
+  composite, alpha-unpremultiply, linear->sRGB, u8, alpha<130 -> black.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dream2real_tpu.nerf.model import NGPConfig
+from dream2real_tpu.nerf.render import RenderSettings, render_image
+from dream2real_tpu.ops import cameras
+from dream2real_tpu.ops.image import linear_to_srgb, rectify_depth, rectify_mask
+from dream2real_tpu.ops.se3 import convert_virtual_pose
+
+CLIP_RES = 336  # reference clip_scoring.py:25
+
+
+class BackgroundView(NamedTuple):
+    """Per-render-view precomputed background (amortised over all poses)."""
+
+    rgb: jnp.ndarray  # (res, res, 3) premultiplied linear
+    alpha: jnp.ndarray  # (res, res)
+    depth: jnp.ndarray  # (res, res) z-depth with movable pushed far
+
+
+def composite_one(fg_rgb, fg_alpha, fg_depth, bg: BackgroundView) -> jnp.ndarray:
+    """Depth-composite one fg render over the background -> u8 RGB.
+
+    Parity: combined_rendering.py:132-155.
+    """
+    fg_d = jnp.where(fg_depth < 0.05, 100.0, fg_depth)
+    bg_d = jnp.where(bg.depth < 0.05, 100.0, bg.depth)
+    near = fg_d < bg_d  # (res, res)
+
+    rgb = jnp.where(near[..., None], fg_rgb, bg.rgb)
+    alpha = jnp.where(near, fg_alpha, bg.alpha)
+
+    # Unpremultiply (divide where alpha != 0), linear->sRGB, u8.
+    safe_a = jnp.where(alpha == 0, 1.0, alpha)
+    rgb = jnp.where(alpha[..., None] == 0, 0.0, rgb / safe_a[..., None])
+    img = jnp.clip(linear_to_srgb(rgb), 0.0, 1.0)
+    img_u8 = (img * 255.0 + 0.5).astype(jnp.uint8)
+    alpha_u8 = (jnp.clip(alpha, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    # Pixels with alpha < 130 -> black (combined_rendering.py:153).
+    return jnp.where(alpha_u8[..., None] < 130, jnp.uint8(0), img_u8)
+
+
+class CombinedRenderer:
+    """Foreground/background NeRF combined renderer.
+
+    fg/bg are (params, NGPConfig) pairs — the task-specific movable-object and
+    task-background fields (reference scene_model.py:98-113, 60-96). All camera
+    poses are in the accio/OpenCV convention; no NGP axis flips anywhere.
+    """
+
+    def __init__(
+        self,
+        fg_params,
+        fg_cfg: NGPConfig,
+        bg_params,
+        bg_cfg: NGPConfig,
+        settings: RenderSettings = RenderSettings(),
+        res: int = CLIP_RES,
+        intrinsics: Optional[np.ndarray] = None,
+        out_render_path: Optional[str] = None,
+        poses_per_dispatch: int = 128,
+    ):
+        self.fg_params, self.fg_cfg = fg_params, fg_cfg
+        self.bg_params, self.bg_cfg = bg_params, bg_cfg
+        self.settings = settings
+        self.res = res
+        if intrinsics is None:
+            intrinsics = cameras.INTRINSICS_CLIP_VIEW
+        self.intrinsics = np.asarray(intrinsics)
+        self.dirs_cam = cameras.pixel_dirs(res, res, jnp.asarray(self.intrinsics))
+        self.out_render_path = out_render_path
+        self.poses_per_dispatch = poses_per_dispatch
+        self._render_chunk = None
+
+    # ---------------------------------------------------------------- bg
+
+    def render_background(
+        self,
+        T_WC: jnp.ndarray,
+        gt_depth: Optional[jnp.ndarray] = None,
+        movable_mask: Optional[jnp.ndarray] = None,
+    ) -> BackgroundView:
+        """Render the task background once for a view (lines 95-113).
+
+        gt_depth: (H, W) metres; movable_mask: (H, W) nonzero outside the
+        movable object (reference movable_masks semantics,
+        scene_model.py:55).
+        """
+        out = render_image(
+            self.bg_params, self.bg_cfg, jnp.asarray(T_WC), self.dirs_cam, self.settings
+        )
+        # Opaque black background (combined_rendering.py:99): alpha -> 1,
+        # premultiplied rgb unchanged (black contributes nothing).
+        rgb = out["rgb"]
+        alpha = jnp.ones_like(out["alpha"])
+        if gt_depth is not None:
+            depth = rectify_depth(jnp.asarray(gt_depth), self.res)
+            if movable_mask is not None:
+                m = rectify_mask(jnp.asarray(movable_mask), self.res)
+                depth = jnp.where(m == 0, 100.0, depth)
+        else:
+            depth = out["depth"]
+        return BackgroundView(rgb=rgb, alpha=alpha, depth=depth)
+
+    # ---------------------------------------------------------------- fg
+
+    def _build_render_chunk(self):
+        settings, fg_cfg, dirs_cam = self.settings, self.fg_cfg, self.dirs_cam
+
+        def render_one(carry, T_WO_2):
+            fg_params, T_WO_1, T_WC_1, bg = carry
+            T_WC_2 = convert_virtual_pose(T_WO_1, T_WO_2, T_WC_1)
+            out = render_image(fg_params, fg_cfg, T_WC_2, dirs_cam, settings)
+            img = composite_one(out["rgb"], out["alpha"], out["depth"], bg)
+            return carry, img
+
+        @jax.jit
+        def render_chunk(fg_params, T_WO_1, poses, T_WC_1, bg: BackgroundView):
+            carry = (fg_params, T_WO_1, T_WC_1, bg)
+            _, imgs = jax.lax.scan(render_one, carry, poses)
+            return imgs  # (P, res, res, 3) u8
+
+        return render_chunk
+
+    def render(
+        self,
+        valid_poses,  # (K, 4, 4) or (K, 16) candidate world poses (accio)
+        render_poses,  # (L, 4, 4) camera poses for the render views (accio)
+        render_cam_pose_idx,  # list of view indices (for parity/logging)
+        depths_gt=None,  # (L, H, W) GT depths for the render views
+        movable_masks=None,  # (L, H, W) nonzero outside movable obj
+        T_WO_1=None,  # movable object's current pose (4, 4)
+        save: bool = False,
+    ) -> np.ndarray:
+        """Render every candidate pose from every render view.
+
+        Returns (K * L, res, res, 3) uint8 RGB images, ordered view-major like
+        the reference (combined_rendering.py:95-155 appends per view, then per
+        pose). Writes cb_render/cb_rgb_%04d.png when save=True (line 157-159).
+        """
+        valid_poses = jnp.asarray(valid_poses).reshape(-1, 4, 4)
+        render_poses = jnp.asarray(render_poses).reshape(-1, 4, 4)
+        if T_WO_1 is None:
+            raise ValueError("T_WO_1 (movable object pose) is required")
+        T_WO_1 = jnp.asarray(T_WO_1).reshape(4, 4)
+        if self._render_chunk is None:
+            self._render_chunk = self._build_render_chunk()
+
+        k = valid_poses.shape[0]
+        p = self.poses_per_dispatch
+        all_imgs = []
+        for view_i in range(render_poses.shape[0]):
+            bg = self.render_background(
+                render_poses[view_i],
+                None if depths_gt is None else depths_gt[view_i],
+                None if movable_masks is None else movable_masks[view_i],
+            )
+            for start in range(0, k, p):
+                chunk = valid_poses[start : start + p]
+                pad = 0
+                if chunk.shape[0] < p:
+                    pad = p - chunk.shape[0]
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.tile(jnp.eye(4)[None], (pad, 1, 1))], axis=0
+                    )
+                imgs = self._render_chunk(
+                    self.fg_params, T_WO_1, chunk, render_poses[view_i], bg
+                )
+                imgs = np.asarray(imgs)
+                if pad:
+                    imgs = imgs[:-pad]
+                all_imgs.append(imgs)
+        renders = np.concatenate(all_imgs, axis=0)
+
+        if save and self.out_render_path:
+            from PIL import Image
+
+            import shutil
+
+            if os.path.exists(self.out_render_path):
+                shutil.rmtree(self.out_render_path)
+            os.makedirs(self.out_render_path)
+            # Reference saves only view 0's renders (render_idx == 0 guard,
+            # combined_rendering.py:157).
+            for i in range(min(k, renders.shape[0])):
+                Image.fromarray(renders[i]).save(
+                    os.path.join(self.out_render_path, f"cb_rgb_{i:04d}.png")
+                )
+        return renders
