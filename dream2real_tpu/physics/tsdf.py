@@ -1,0 +1,190 @@
+"""Dense TSDF fusion in JAX.
+
+Parity target: vision_3d/physics_utils.py:58-119 — per-object TSDF built from
+masked depth frames (mask eroded 20 px for the background object, 8 px for
+foreground objects, lines 77-83), integrated over all frames, then meshed.
+The reference uses Open3D's sparse VoxelBlockGrid on the CPU at 2 mm; we fuse
+a dense grid over `scene_phys_bounds` on-device (default 4 mm — collision
+checking does not need mesh-grade resolution; configurable).
+
+TPU notes: each frame integration is a pure gather from the (H, W) depth image
+at projected voxel pixel coords + elementwise update, scanned over frames.
+The gather is regular along rows of voxels => XLA vectorizes it well (unlike
+the hash-table lookups this build avoids).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dream2real_tpu.ops.image import erode
+
+
+class TSDFGrid(NamedTuple):
+    tsdf: jnp.ndarray  # (X, Y, Z) float32 in [-1, 1] (truncated, normalized)
+    weight: jnp.ndarray  # (X, Y, Z) float32
+    origin: jnp.ndarray  # (3,) world coords of voxel (0,0,0) CENTER
+    voxel_size: float
+
+    @property
+    def shape(self):
+        return self.tsdf.shape
+
+    def occupancy(self, thresh: float = 0.0) -> jnp.ndarray:
+        """Occupied = observed and at/behind the surface."""
+        return (self.weight > 0) & (self.tsdf <= thresh)
+
+
+def grid_coords(bounds, voxel_size: float):
+    """World-space voxel-center coordinates covering bounds.
+
+    bounds: ((x0,y0,z0), (x1,y1,z1)). Returns (origin (3,), dims (3,)).
+    """
+    lo = np.asarray(bounds[0], np.float32)
+    hi = np.asarray(bounds[1], np.float32)
+    dims = np.maximum(np.ceil((hi - lo) / voxel_size).astype(int), 1)
+    origin = lo + voxel_size / 2
+    return origin, tuple(int(d) for d in dims)
+
+
+def fuse_tsdf(
+    depths: jnp.ndarray,  # (N, H, W) float32 metres, 0 = invalid
+    masks: jnp.ndarray,  # (N, H, W) bool: True where this object
+    cam_poses: jnp.ndarray,  # (N, 4, 4) camera-to-world, accio
+    intrinsics: jnp.ndarray,  # (3, 3)
+    bounds,
+    voxel_size: float = 0.004,
+    trunc: float | None = None,
+    erosion_kernel: int = 8,
+    depth_max: float = 3.0,
+) -> TSDFGrid:
+    """Fuse masked depth frames into a dense TSDF.
+
+    erosion_kernel: mask erosion in pixels (physics_utils.py:77-83: 20 for the
+    background object, 8 for foreground objects). trunc defaults to 3 voxels.
+    """
+    trunc = trunc if trunc is not None else 3.0 * voxel_size
+    origin, dims = grid_coords(bounds, voxel_size)
+    X, Y, Z = dims
+    h, w = depths.shape[1:3]
+
+    xs = origin[0] + voxel_size * jnp.arange(X)
+    ys = origin[1] + voxel_size * jnp.arange(Y)
+    zs = origin[2] + voxel_size * jnp.arange(Z)
+    # (X, Y, Z, 3) world voxel centers, built lazily inside jit.
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+
+    if erosion_kernel > 1:
+        masks_f = erode(masks.astype(jnp.float32), erosion_kernel) > 0.5
+    else:
+        masks_f = masks
+
+    def integrate(carry, frame):
+        tsdf, weight = carry
+        depth, mask, T_WC = frame
+        depth = jnp.where(mask, depth, 0.0)
+        T_CW = jnp.linalg.inv(T_WC)
+        R, t = T_CW[:3, :3], T_CW[:3, 3]
+        # Voxel centers -> camera frame, separably:
+        # cam = R @ [x, y, z] + t, broadcast over the grid.
+        px = xs[:, None, None]
+        py = ys[None, :, None]
+        pz = zs[None, None, :]
+        cam_x = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + t[0]
+        cam_y = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]
+        cam_z = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
+        u = cam_x / cam_z * fx + cx
+        v = cam_y / cam_z * fy + cy
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
+        in_frustum = (
+            (cam_z > 1e-3)
+            & (u >= 0) & (u <= w - 1)
+            & (v >= 0) & (v <= h - 1)
+        )
+        d = depth[vi, ui]
+        valid = in_frustum & (d > 0) & (d < depth_max)
+        sdf = (d - cam_z) / trunc
+        valid = valid & (sdf > -1.0)
+        sdf = jnp.clip(sdf, -1.0, 1.0)
+        w_new = jnp.where(valid, 1.0, 0.0)
+        weight_next = weight + w_new
+        tsdf_next = jnp.where(
+            valid,
+            (tsdf * weight + sdf) / jnp.maximum(weight_next, 1e-9),
+            tsdf,
+        )
+        return (tsdf_next, weight_next), None
+
+    init = (jnp.zeros((X, Y, Z), jnp.float32), jnp.zeros((X, Y, Z), jnp.float32))
+    (tsdf, weight), _ = jax.lax.scan(
+        integrate, init, (depths, masks_f, cam_poses)
+    )
+    return TSDFGrid(tsdf=tsdf, weight=weight, origin=jnp.asarray(origin), voxel_size=voxel_size)
+
+
+def occupied_points(
+    grid: TSDFGrid,
+    max_points: int,
+    thresh: float = 0.0,
+    mode: str = "solid",
+    bounds=None,
+) -> np.ndarray:
+    """World coords of occupied voxel centers, deterministically downsampled /
+    zero-padded to exactly (max_points, 4): [x, y, z, valid].
+
+    mode="solid": everything at/behind the surface (tsdf <= thresh).
+    mode="shell": the surface shell only (|tsdf| < 0.5, observed) — use this
+    for the MOVABLE object: TSDF fusion marks up to a truncation band behind
+    every visible surface as "inside", which for an object resting on a table
+    includes phantom voxels below table level; the shell approximates the
+    object's surface like Bullet's collision mesh did. `bounds` additionally
+    crops (the reference crops physics meshes to scene_phys_bounds,
+    physics_utils.py:102-103).
+
+    Fixed-size so the collision check stays static-shaped on TPU.
+    """
+    if mode == "shell":
+        occ = np.asarray((grid.weight > 0) & (jnp.abs(grid.tsdf) < 0.5))
+    else:
+        occ = np.asarray(grid.occupancy(thresh))
+    idx = np.argwhere(occ)
+    if bounds is not None and idx.shape[0] > 0:
+        pts_w = np.asarray(grid.origin) + idx * grid.voxel_size
+        inb = (
+            (pts_w >= np.asarray(bounds[0])) & (pts_w <= np.asarray(bounds[1]))
+        ).all(axis=1)
+        idx = idx[inb]
+    n = idx.shape[0]
+    pts = np.zeros((max_points, 4), np.float32)
+    if n == 0:
+        return pts
+    if n > max_points:
+        stride = n / max_points
+        sel = (np.arange(max_points) * stride).astype(int)
+        idx = idx[sel]
+        n = max_points
+    origin = np.asarray(grid.origin)
+    pts[:n, :3] = origin + idx * grid.voxel_size
+    pts[:n, 3] = 1.0
+    return pts
+
+
+def grid_centroid(grid: TSDFGrid, thresh: float = 0.0) -> np.ndarray:
+    """Centroid of occupied voxels (the reference's init_pose translation uses
+    the mesh/pcd center, physics_utils.py:113-114, 157-158)."""
+    occ = np.asarray(grid.occupancy(thresh)).astype(np.float64)
+    total = occ.sum()
+    if total == 0:
+        return np.zeros(3)
+    X, Y, Z = occ.shape
+    origin = np.asarray(grid.origin, np.float64)
+    cx = (occ.sum(axis=(1, 2)) * (origin[0] + grid.voxel_size * np.arange(X))).sum()
+    cy = (occ.sum(axis=(0, 2)) * (origin[1] + grid.voxel_size * np.arange(Y))).sum()
+    cz = (occ.sum(axis=(0, 1)) * (origin[2] + grid.voxel_size * np.arange(Z))).sum()
+    return np.array([cx, cy, cz]) / total
