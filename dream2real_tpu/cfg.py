@@ -83,8 +83,10 @@ class Config:
             self.scene_centre = eng["scene_centre"]
             self.scene_phys_bounds = eng["scene_phys_bounds"]
             self.render_cam_pose_idx = eng["render_cam_pose_idx"]
-            # TPU-build extension: explicit sampling bounds override.
+            # TPU-build extensions: explicit sampling bounds override and
+            # render resolution (reference hardcodes 336, clip_scoring.py:25).
             self.sample_bounds = eng.get("sample_bounds", None)
+            self.render_res = eng.get("render_res", 336)
 
         # trainer (cfg.py:56-68)
         tr = config["trainer"]

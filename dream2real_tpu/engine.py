@@ -1,0 +1,406 @@
+"""ImaginationEngine — the pipeline orchestrator.
+
+Parity target: dream2real.py:43-402. Same three-call API driven by demo.py:
+``build_scene_model()`` -> ``interpret_user_instr(instr)`` ->
+``dream_best_pose(task_model)``, same cache flags, same artifacts
+(goal_pose.txt / pose_batch.txt / pose_scores.txt / best_render.png,
+dream2real.py:356-358).
+
+TPU-first orchestration differences:
+- the NGP training / rendering / physics / CLIP stages are the JAX components
+  of this package (no Python->C++ boundaries, SURVEY §3.1);
+- model residency hand-offs (`free()` calls to fit 24 GB,
+  dream2real.py:135,165) become no-ops on v5e HBM but keep the lifecycle;
+- interactive Open3D visualisation is replaced by offline exports
+  (vis/cost_volume.py) — this framework targets headless TPU hosts.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from dream2real_tpu.cfg import Config
+from dream2real_tpu.data.loader import D2RDataLoader
+from dream2real_tpu.lang.llm import LangModel
+from dream2real_tpu.nerf.combined import CombinedRenderer
+from dream2real_tpu.perception.captioner import Captioner
+from dream2real_tpu.perception.segmentation import Segmentor
+from dream2real_tpu.physics.collision import make_unsupcol_check
+from dream2real_tpu.reconstruction import build_vis_model
+from dream2real_tpu.scene_model import ObjectModel, SceneModel, TaskModel
+from dream2real_tpu.scoring import optimise_pose_grid
+from dream2real_tpu.ops.cameras import clip_view_intrinsics_like
+
+_CURR_DIR = pathlib.Path(__file__).parent.absolute()
+
+
+class ImaginationEngine:
+    """Imagination engine for generating task models from user instructions."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        embodied: bool = False,
+        llm_backend=None,
+        caption_backend=None,
+        clip_loader=None,
+        ngp_overrides: Optional[dict] = None,
+    ):
+        self.embodied = embodied
+        self.cfg = cfg
+        self.data_dir = cfg.data_dir
+        self.use_phys = cfg.use_phys
+        self.use_phys_tsdf = cfg.use_phys_tsdf
+        self.lazy_phys_mods = cfg.lazy_phys_mods
+        self.multi_view_captions = cfg.multi_view_captions
+        self.use_cache_dynamic_masks = cfg.use_cache_dynamic_masks
+        self.use_cache_segs = cfg.use_cache_segs
+        self.use_cache_captions = cfg.use_cache_captions
+        self.use_cache_phys = cfg.use_cache_phys
+        self.use_cache_cam_poses = cfg.use_cache_cam_poses
+        self.use_cache_renders = cfg.use_cache_renders
+        self.use_cache_goal_pose = cfg.use_cache_goal_pose
+        self.render_distractors = cfg.render_distractors
+        self.spatial_smoothing = cfg.spatial_smoothing
+        self.use_cache_vis = cfg.use_cache_vis
+        self.use_vis_pcds = cfg.use_vis_pcds
+        self.pcds_type = cfg.pcds_type
+        self.render_cam_pose_idx = cfg.render_cam_pose_idx
+        self.scene_type = cfg.scene_type
+        self.topdown = cfg.scene_type in [0, 3]  # dream2real.py:69
+        self.physics_only = cfg.physics_only
+        self.single_view_idx = cfg.single_view_idx
+        self.sample_bounds = getattr(cfg, "sample_bounds", None)
+        self.ngp_overrides = ngp_overrides or {}
+
+        self.depths_gt = None
+        self.scene_model = None
+        self.segmentor = Segmentor()
+        self.caption = cfg.caption
+        if cfg.caption:
+            self.captioner = Captioner(
+                topdown=self.topdown,
+                read_cache=self.use_cache_captions,
+                cache_path=os.path.join(self.data_dir, "captions.json"),
+                backend=caption_backend,
+            )
+        self.lang_model = LangModel(
+            cache_path=os.path.join(self.data_dir, "lang_cache.json")
+            if os.path.exists(os.path.join(self.data_dir, "lang_cache.json"))
+            else str(_CURR_DIR / "lang" / "cache.json"),
+            read_cache=cfg.use_cache_llm,
+            backend=llm_backend,
+        )
+        self.renderer = None
+        self.clip_loader = clip_loader
+        self._clip_scorer = None
+        self._tokenizer = None
+
+        assert cfg.scene_centre is not None
+        assert cfg.scene_phys_bounds is not None
+        assert cfg.sample_res is not None
+        self.scene_centre = cfg.scene_centre
+        self.scene_phys_bounds = cfg.scene_phys_bounds
+        self.sample_res = cfg.sample_res
+
+    # ------------------------------------------------------------------
+
+    def build_scene_model(self, raw_data=None):
+        """Load scan, segment, reconstruct, caption -> SceneModel
+        (dream2real.py:101-177)."""
+        print("Building scene model...")
+        intrinsics = self.cfg.intrinsics_matrix()
+        dataloader = D2RDataLoader(self.cfg)
+        rgbs, depths, raw_cam_poses = (
+            dataloader.load_rgbds() if raw_data is None else raw_data
+        )
+        self.out_scene_bound_masks = dataloader.remove_background(
+            intrinsics, self.scene_phys_bounds, use_cache=self.use_cache_dynamic_masks
+        )
+        self.depths_gt = np.stack(
+            [np.asarray(depths[i]) for i in self.render_cam_pose_idx]
+        )
+
+        video_path = os.path.join(self.data_dir, "seg_images")
+        if os.path.exists(video_path):
+            masks = self.segmentor.segment_associate(
+                video_path, depths, dataloader.T_WC_data, intrinsics,
+                self.data_dir, self.out_scene_bound_masks, self.scene_centre,
+                show=self.cfg.visseg, use_cache=self.use_cache_segs,
+            )
+        else:
+            masks = self.segmentor.segment(
+                np.asarray(rgbs), depths, self.data_dir,
+                show=self.cfg.visseg, use_cache=self.use_cache_segs,
+            )
+        self.segmentor.free()
+        masks = np.asarray(masks)
+
+        # mask idx 0 = bground, 255 = outside scene bounds (dream2real.py:139).
+        uniq = np.unique(masks)
+        num_objs = len(uniq) - 1 if 255 in uniq else len(uniq)
+
+        if self.use_cache_cam_poses:
+            print("Using cached optimised camera poses")
+            opt_cam_poses = np.load(os.path.join(self.data_dir, "opt_cam_poses.npy"))
+            self._full_model = None
+        else:
+            self._full_model, opt_cam_poses = build_vis_model(
+                self.cfg,
+                dynamic_time_extension=False,
+                render_distract=self.render_distractors,
+                depths=np.asarray(depths),
+                field_overrides=self.ngp_overrides.get("field"),
+                train_overrides=self.ngp_overrides.get("train"),
+            )
+            if opt_cam_poses is None:
+                opt_cam_poses = np.asarray(raw_cam_poses)
+        opt_cam_poses = [np.asarray(p, np.float32) for p in opt_cam_poses]
+
+        if self.lazy_phys_mods:
+            phys_models = [None] * num_objs
+            init_poses = [None] * num_objs
+        else:
+            from dream2real_tpu.physics.models import get_phys_models
+
+            phys_models, init_poses = get_phys_models(
+                depths, opt_cam_poses, intrinsics, masks, num_objs,
+                self.scene_phys_bounds,
+                save_dir=os.path.join(self.data_dir, "phys_mods/"),
+                vis=False, use_cache=self.use_cache_phys,
+                use_phys_tsdf=self.use_phys_tsdf,
+            )
+
+        if self.caption:
+            captions, thumbnails = self.captioner.caption_objs(
+                num_objs, rgbs, masks, self.lang_model, self.out_scene_bound_masks,
+                topdown=self.topdown, multi_view=self.multi_view_captions,
+                single_view_idx=self.single_view_idx,
+            )
+            self.captioner.free()
+        else:
+            cache_path = os.path.join(self.data_dir, "captions.json")
+            if os.path.exists(cache_path):
+                import json
+
+                captions = json.load(open(cache_path))
+            else:
+                captions = ["__background__"] + [
+                    f"object {i}" for i in range(1, num_objs)
+                ]
+            thumbnails = [None] * num_objs
+
+        vis_models = [None] * num_objs
+        objs = [
+            ObjectModel(
+                captions[i], vis_models[i], phys_models[i], init_poses[i],
+                thumbnails[i] if i < len(thumbnails) else None, i,
+            )
+            for i in range(num_objs)
+        ]
+        self.scene_model = SceneModel(
+            self.scene_centre, objs, objs[0], np.asarray(rgbs), depths,
+            opt_cam_poses, intrinsics, masks, self.scene_phys_bounds,
+            self.scene_type,
+        )
+
+    # ------------------------------------------------------------------
+
+    def determine_movable_obj(self, user_instr):
+        obj_captions = [obj.name for obj in self.scene_model.objs]
+        movable_idx = self.lang_model.get_movable_obj_idx(user_instr, obj_captions)
+        return self.scene_model.objs[movable_idx], movable_idx
+
+    def determine_relevant_objs(self, norm_caption, movable_obj_idx):
+        obj_captions = [obj.name for obj in self.scene_model.objs]
+        relevant_idxs = self.lang_model.get_relevant_obj_idxs(
+            norm_caption, obj_captions, movable_obj_idx
+        )
+        if len(relevant_idxs) == 0:
+            raise RuntimeError(
+                "Error: None of the captioned objects were determined to be relevant."
+            )
+        return [self.scene_model.objs[idx] for idx in relevant_idxs]
+
+    def interpret_user_instr(self, user_instr, goal_caption=None, norm_captions=None):
+        """Parse instruction -> TaskModel (dream2real.py:216-280)."""
+        if self.scene_model is None:
+            raise RuntimeError(
+                "Must call build_scene_model() first before receiving user instructions"
+            )
+        if goal_caption is None:
+            goal_caption, norm_caption = self.lang_model.parse_instr(user_instr)
+            print("Goal caption:", goal_caption)
+            print("Normalised caption:", norm_caption)
+            norm_captions = [norm_caption]
+        movable_obj, movable_obj_idx = self.determine_movable_obj(user_instr)
+        relevant_objs = self.determine_relevant_objs(goal_caption, movable_obj_idx)
+
+        if self.lazy_phys_mods:
+            (
+                [bground_phys, movable_phys],
+                [bground_init_pose, movable_init_pose],
+            ) = TaskModel.create_lazy_phys_mods(
+                self.scene_model, movable_obj, self.scene_phys_bounds,
+                save_dir=os.path.join(self.data_dir, "phys_mod/"),
+                embodied=self.embodied, vis=False, use_cache=self.use_cache_phys,
+                use_phys_tsdf=self.use_phys_tsdf, use_vis_pcds=self.use_vis_pcds,
+                single_view_idx=self.single_view_idx,
+            )
+
+        depths_np = np.asarray(self.scene_model.depths)
+        movable_obj.vis_model = TaskModel.create_movable_vis_model(
+            self.scene_model, movable_obj, self.out_scene_bound_masks,
+            os.path.join(self.data_dir, "movable_vis_mod/"),
+            use_vis_pcds=self.use_vis_pcds, pcds_type=self.pcds_type,
+            single_view_idx=self.single_view_idx, use_cache=self.use_cache_vis,
+            data_dir=self.data_dir, depths=depths_np,
+            field_overrides=self.ngp_overrides.get("field"),
+            train_overrides=self.ngp_overrides.get("train"),
+        )
+
+        task_bground_obj, task_bground_masks = TaskModel.create_task_bground_obj(
+            self.scene_model, movable_obj, relevant_objs,
+            self.out_scene_bound_masks,
+            os.path.join(self.data_dir, "task_bground_vis_mod/"),
+            use_vis_pcds=self.use_vis_pcds, pcds_type=self.pcds_type,
+            single_view_idx=self.single_view_idx,
+            render_distractors=self.render_distractors,
+            use_cache=self.use_cache_vis, data_dir=self.data_dir,
+            depths=depths_np,
+            field_overrides=self.ngp_overrides.get("field"),
+            train_overrides=self.ngp_overrides.get("train"),
+        )
+
+        if self.lazy_phys_mods:
+            movable_obj.phys_model = movable_phys
+            movable_obj.pose = movable_init_pose
+            task_bground_obj.phys_model = bground_phys
+
+        return TaskModel(
+            user_instr, goal_caption, norm_captions, self.scene_model,
+            movable_obj, task_bground_obj, task_bground_masks, self.topdown,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _get_clip(self):
+        if self._clip_scorer is None:
+            from dream2real_tpu.clip.scorer import ClipScorer
+            from dream2real_tpu.clip.tokenizer import ClipTokenizer
+
+            if self.clip_loader is not None:
+                params, ccfg = self.clip_loader()
+            else:
+                try:
+                    from dream2real_tpu.clip.convert import load_clip
+
+                    params, ccfg = load_clip()
+                    print("Loaded CLIP ViT-L/14-336 weights.")
+                except FileNotFoundError:
+                    import jax
+
+                    from dream2real_tpu.clip.model import CLIPConfig, init_clip_params
+
+                    print(
+                        "WARNING: no local CLIP checkpoint found — using a "
+                        "small RANDOM CLIP. Scores are self-consistent but "
+                        "not semantic. Set D2R_CLIP_PATH for real scoring."
+                    )
+                    ccfg = CLIPConfig(
+                        image_size=336, patch_size=28, vision_width=128,
+                        vision_layers=4, vision_heads=4, text_width=128,
+                        text_layers=2, text_heads=4, projection_dim=64,
+                    )
+                    params = init_clip_params(jax.random.PRNGKey(0), ccfg)
+            self._clip_scorer = ClipScorer(params, ccfg)
+            self._tokenizer = ClipTokenizer(
+                context_length=ccfg.context_length, vocab_size=ccfg.vocab_size
+            )
+        return self._clip_scorer, self._tokenizer
+
+    def dream_best_pose(self, task_model, vis_cost_vol: bool = True):
+        """Imagine + score candidate placements (dream2real.py:282-402)."""
+        movable_init_pose = np.asarray(task_model.movable_obj.pose)
+
+        phys_check = None
+        if self.use_phys and not self.use_cache_renders:
+            bg_phys = task_model.task_bground_obj.phys_model
+            fg_phys = task_model.movable_obj.phys_model
+            phys_check = make_unsupcol_check(
+                bg_phys.tsdf,
+                fg_phys.points,
+                movable_init_pose,
+                self.scene_centre,
+                self.sample_res,
+                disallow_regrasp=self.embodied,
+            )
+
+        if self.use_vis_pcds and not self.use_cache_goal_pose:
+            from dream2real_tpu.pcd.renderer import PointCloudRenderer
+
+            self.renderer = PointCloudRenderer(task_model)
+        else:
+            fg = task_model.movable_obj.vis_model
+            bg = task_model.task_bground_obj.vis_model
+            res = getattr(self.cfg, "render_res", 336)
+            clip_K = clip_view_intrinsics_like(
+                self.scene_model.intrinsics,
+                (self.cfg.height, self.cfg.width),
+                res=res,
+            )
+            self.renderer = CombinedRenderer(
+                fg.params, fg.cfg, bg.params, bg.cfg,
+                settings=fg.settings,
+                res=res,
+                intrinsics=clip_K,
+                out_render_path=os.path.join(self.data_dir, "cb_render"),
+            )
+
+        if self.use_cache_goal_pose:
+            best_pose = np.loadtxt(os.path.join(self.data_dir, "goal_pose.txt"))
+            pose_batch = np.loadtxt(os.path.join(self.data_dir, "pose_batch.txt"))
+            pose_scores = np.loadtxt(os.path.join(self.data_dir, "pose_scores.txt"))
+        else:
+            clip_scorer, tokenizer = (None, None)
+            if not self.physics_only:
+                clip_scorer, tokenizer = self._get_clip()
+            best_pose, pose_batch, pose_scores = optimise_pose_grid(
+                self.renderer,
+                self.depths_gt,
+                self.render_cam_pose_idx,
+                task_model,
+                self.data_dir,
+                sample_res=self.sample_res,
+                phys_check=phys_check,
+                use_templates=False,
+                scene_type=self.scene_type,
+                use_vis_pcds=self.use_vis_pcds,
+                use_cache_renders=self.use_cache_renders,
+                smoothing=self.spatial_smoothing,
+                physics_only=self.physics_only,
+                clip_scorer=clip_scorer,
+                tokenizer=tokenizer,
+                bounds_override=self.sample_bounds,
+            )
+            np.savetxt(os.path.join(self.data_dir, "goal_pose.txt"), best_pose)
+            np.savetxt(os.path.join(self.data_dir, "pose_batch.txt"), pose_batch)
+            np.savetxt(os.path.join(self.data_dir, "pose_scores.txt"), pose_scores)
+
+        if vis_cost_vol:
+            try:
+                from dream2real_tpu.vis.cost_volume import export_cost_volume
+
+                export_cost_volume(
+                    pose_scores, self.sample_res, pose_batch,
+                    os.path.join(self.data_dir, "cost_volume.png"),
+                )
+            except Exception as e:  # visualisation is best-effort
+                print("cost volume export skipped:", e)
+
+        return np.asarray(best_pose).reshape(4, 4)

@@ -174,7 +174,7 @@ class CombinedRenderer:
             self._render_chunk = self._build_render_chunk()
 
         k = valid_poses.shape[0]
-        p = self.poses_per_dispatch
+        p = min(self.poses_per_dispatch, max(k, 1))
         all_imgs = []
         for view_i in range(render_poses.shape[0]):
             bg = self.render_background(
