@@ -1,0 +1,150 @@
+"""Headline benchmark: candidate poses rendered + CLIP-scored per second.
+
+This is the reference's hot path (SURVEY §3.1 hot loops #4 + #5): per
+candidate pose, two 336x336 NeRF render passes + depth composite + CLIP
+ViT-L/14-336 scoring. The reference executes it as a per-pose Python loop over
+pyngp (CUDA) + numpy compositing + torch CLIP batches on an RTX 4090; here it
+is one fused JAX program on TPU.
+
+Baseline (vs_baseline denominator): the reference publishes no numbers
+(BASELINE.md), so we use a documented estimate of the 4090 pipeline from its
+structure: ~2 x 336^2 instant-ngp renders (~5-8 ms each with occupancy grids)
++ CPU composite round-trip (~3 ms) + CLIP ViT-L/14-336 at batch 128 (~0.7
+ms/img amortised) => ~15-20 ms/pose => ~50-65 poses/s. We take 60 poses/s.
+
+CLIP weights: no checkpoint is downloadable in this environment; scoring runs
+the full ViT-L/14-336 architecture with random weights — FLOP- and
+layout-identical to the real scorer, so throughput is representative.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_POSES_PER_S = 60.0  # documented estimate, see module docstring
+
+
+def main():
+    t_start = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    from dream2real_tpu.clip.model import CLIPConfig, init_clip_params
+    from dream2real_tpu.data import synth
+    from dream2real_tpu.nerf.combined import BackgroundView
+    from dream2real_tpu.nerf.model import NGPConfig
+    from dream2real_tpu.nerf.render import RenderSettings, render_image
+    from dream2real_tpu.nerf.trainer import (
+        TrainConfig,
+        init_train_state,
+        make_train_chunk,
+        train_with_governor,
+    )
+    from dream2real_tpu.ops import cameras
+    from dream2real_tpu.parallel.imagine import make_imagine_and_score
+    from dream2real_tpu.sampling import sample_poses_grid
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    # ---- Train the flagship field briefly on the synthetic tabletop (the
+    # bench measures render+score throughput; field fidelity is irrelevant,
+    # but a trained field has realistic occupancy/denstiy distribution).
+    res = 336
+    scene = synth.default_scene()
+    f = 0.9 * res
+    K = np.array([[f, 0, res / 2], [0, f, res / 2], [0, 0, 1.0]])
+    cams = synth.orbit_poses(scene.centre, 16, radius=0.5, height=0.4)
+    rgbs, depths = [], []
+    for i in range(len(cams)):
+        rgb, depth, _ = synth.render_scene(scene, cams[i], K, res, res)
+        rgbs.append(rgb)
+        depths.append(depth)
+    rgba = jnp.asarray(
+        np.concatenate(
+            [np.stack(rgbs), np.full((len(cams), res, res, 1), 255, np.uint8)], -1
+        )
+    )
+    ngp_cfg = NGPConfig(aabb_min=(0.0, -0.6, -0.1), aabb_max=(1.1, 0.6, 0.9))
+    tc = TrainConfig(
+        n_steps=int(os.environ.get("D2R_BENCH_TRAIN_STEPS", "1000")),
+        batch_rays=8192, poll_steps=250, dynamic_time_extension=False,
+    )
+    settings = RenderSettings(n_coarse=32, n_fine=32, near=0.05, far=2.0)
+    dirs_cam = cameras.pixel_dirs(res, res, jnp.asarray(K))
+    state = init_train_state(ngp_cfg, tc, n_images=rgba.shape[0])
+    chunk = make_train_chunk(
+        ngp_cfg, tc, settings, rgba, jnp.asarray(cams.astype(np.float32)),
+        dirs_cam, depths=jnp.asarray(np.stack(depths)),
+    )
+    state, losses = train_with_governor(chunk, state, tc)
+    fg_params = state["params"]["field"]
+    print(f"# field trained: loss {losses[-1]:.5f}", file=sys.stderr)
+
+    # ---- Background view (amortised per task, like the reference).
+    T_WC = jnp.asarray(cams[0].astype(np.float32))
+    bg_out = jax.jit(
+        lambda p, T: render_image(p, ngp_cfg, T, dirs_cam, settings, row_chunk=56)
+    )(fg_params, T_WC)
+    bg = BackgroundView(
+        rgb=bg_out["rgb"], alpha=jnp.ones_like(bg_out["alpha"]), depth=bg_out["depth"]
+    )
+
+    # ---- CLIP ViT-L/14-336-shaped scorer.
+    clip_cfg = CLIPConfig()
+    clip_params = init_clip_params(jax.random.PRNGKey(0), clip_cfg)
+    txt_emb = jnp.asarray(np.random.default_rng(0).normal(size=(2, clip_cfg.projection_dim)).astype(np.float32))
+
+    clip_batch = int(os.environ.get("D2R_BENCH_CLIP_BATCH", "16"))
+    score_fn = make_imagine_and_score(
+        ngp_cfg, clip_cfg, settings, dirs_cam, n_norm_captions=1,
+        clip_batch=clip_batch,
+    )
+    T_WO = jnp.eye(4).at[:3, 3].set(jnp.asarray(list(scene.centre)))
+
+    n_poses = int(os.environ.get("D2R_BENCH_POSES", "256"))
+    grid = sample_poses_grid(scene.centre, [16, n_poses // 16, 1, 1, 1, 1], scene_type=3)
+    poses = jnp.asarray(np.asarray(grid).reshape(-1, 4, 4)[:n_poses])
+
+    # Warmup / compile. NOTE: single dispatches are kept to ~dispatch_poses
+    # poses — the TPU runtime kills launches running longer than ~1-2 min.
+    dispatch_poses = int(os.environ.get("D2R_BENCH_DISPATCH", "64"))
+    warm = score_fn(fg_params, clip_params, T_WO, T_WC, bg, txt_emb, poses[:dispatch_poses])
+    _ = float(np.asarray(warm).sum())
+    t0 = time.time()
+    acc = 0.0
+    for s in range(0, n_poses, dispatch_poses):
+        scores = score_fn(
+            fg_params, clip_params, T_WO, T_WC, bg, txt_emb,
+            poses[s : s + dispatch_poses],
+        )
+        acc += float(np.asarray(scores).sum())
+    dt = time.time() - t0
+    poses_per_s = n_poses / dt
+    print(
+        f"# {n_poses} poses rendered+scored in {dt:.2f}s; total bench "
+        f"wall-clock {time.time()-t_start:.0f}s",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "candidate poses rendered+CLIP-scored per second (336x336, ViT-L/14-336)",
+                "value": round(poses_per_s, 2),
+                "unit": "poses/s",
+                "vs_baseline": round(poses_per_s / BASELINE_POSES_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -85,7 +85,8 @@ class CombinedRenderer:
         res: int = CLIP_RES,
         intrinsics: Optional[np.ndarray] = None,
         out_render_path: Optional[str] = None,
-        poses_per_dispatch: int = 128,
+        poses_per_dispatch: int = 64,
+        row_chunk: int = 56,
     ):
         self.fg_params, self.fg_cfg = fg_params, fg_cfg
         self.bg_params, self.bg_cfg = bg_params, bg_cfg
@@ -97,6 +98,7 @@ class CombinedRenderer:
         self.dirs_cam = cameras.pixel_dirs(res, res, jnp.asarray(self.intrinsics))
         self.out_render_path = out_render_path
         self.poses_per_dispatch = poses_per_dispatch
+        self.row_chunk = row_chunk if res % max(row_chunk, 1) == 0 else 0
         self._render_chunk = None
 
     # ---------------------------------------------------------------- bg
@@ -113,9 +115,14 @@ class CombinedRenderer:
         movable object (reference movable_masks semantics,
         scene_model.py:55).
         """
-        out = render_image(
-            self.bg_params, self.bg_cfg, jnp.asarray(T_WC), self.dirs_cam, self.settings
-        )
+        # Jitted + row-chunked: an eager full-res march materializes every
+        # intermediate (multi-GB) and OOMs the chip.
+        out = jax.jit(
+            lambda p, T: render_image(
+                p, self.bg_cfg, T, self.dirs_cam, self.settings,
+                row_chunk=self.row_chunk,
+            )
+        )(self.bg_params, jnp.asarray(T_WC))
         # Opaque black background (combined_rendering.py:99): alpha -> 1,
         # premultiplied rgb unchanged (black contributes nothing).
         rgb = out["rgb"]
@@ -134,10 +141,14 @@ class CombinedRenderer:
     def _build_render_chunk(self):
         settings, fg_cfg, dirs_cam = self.settings, self.fg_cfg, self.dirs_cam
 
+        rc = self.row_chunk
+
         def render_one(carry, T_WO_2):
             fg_params, T_WO_1, T_WC_1, bg = carry
             T_WC_2 = convert_virtual_pose(T_WO_1, T_WO_2, T_WC_1)
-            out = render_image(fg_params, fg_cfg, T_WC_2, dirs_cam, settings)
+            out = render_image(
+                fg_params, fg_cfg, T_WC_2, dirs_cam, settings, row_chunk=rc
+            )
             img = composite_one(out["rgb"], out["alpha"], out["depth"], bg)
             return carry, img
 

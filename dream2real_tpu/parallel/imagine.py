@@ -1,0 +1,95 @@
+"""Sharded imagine-and-score: the fused multi-chip hot loop.
+
+One program: pose batch sharded over the mesh; per device, a scan renders each
+candidate pose (virtual-camera trick -> fg march -> depth composite) and
+scores it with the CLIP image tower against precomputed text embeddings. The
+only cross-device communication is the implicit all-gather of the (K,) score
+vector at the end — scores ride ICI, renders never leave their device.
+
+This collapses the reference's hot loops #4 and #5 (SURVEY §3.1) into a
+single launch spanning the slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dream2real_tpu.clip.model import (
+    CLIPConfig,
+    encode_image,
+    logits_per_image,
+    preprocess_images,
+)
+from dream2real_tpu.clip.scorer import reduce_logits
+from dream2real_tpu.nerf.combined import BackgroundView, composite_one
+from dream2real_tpu.nerf.model import NGPConfig
+from dream2real_tpu.nerf.render import RenderSettings, render_image
+from dream2real_tpu.ops.se3 import convert_virtual_pose
+from dream2real_tpu.parallel.mesh import DATA_AXIS
+
+
+def make_imagine_and_score(
+    fg_cfg: NGPConfig,
+    clip_cfg: CLIPConfig,
+    settings: RenderSettings,
+    dirs_cam: jnp.ndarray,
+    n_norm_captions: int,
+    use_templates: bool = False,
+    mesh: Optional[Mesh] = None,
+    clip_batch: int = 8,
+    row_chunk: int = 56,
+):
+    """Build score_fn(fg_params, clip_params, T_WO_1, T_WC_1, bg, txt_emb,
+    poses (K, 4, 4)) -> (K,) scores.
+
+    With a mesh, poses shard over DATA_AXIS (K must divide by mesh size);
+    without, it is the single-chip fused program.
+    """
+
+    res = dirs_cam.shape[0]
+    rc = row_chunk if res % max(row_chunk, 1) == 0 else 0
+
+    def render_one(fg_params, T_WO_1, T_WC_1, bg, T_WO_2):
+        T_WC_2 = convert_virtual_pose(T_WO_1, T_WO_2, T_WC_1)
+        # Row-chunked march bounds peak activation memory (a full 336^2 x 64
+        # sample render would hold multi-GB MLP activations at once).
+        out = render_image(fg_params, fg_cfg, T_WC_2, dirs_cam, settings, row_chunk=rc)
+        return composite_one(out["rgb"], out["alpha"], out["depth"], bg)
+
+    def score_local(fg_params, clip_params, T_WO_1, T_WC_1, bg, txt_emb, poses):
+        # poses: (k_local, 4, 4). Scan in clip_batch-sized sub-batches so the
+        # ViT runs with a batch dimension (MXU efficiency) while renders stay
+        # one-at-a-time (each render already fills the chip).
+        k = poses.shape[0]
+        assert k % clip_batch == 0, (k, clip_batch)
+        groups = poses.reshape(k // clip_batch, clip_batch, 4, 4)
+
+        def group_body(carry, pose_group):
+            def r_body(c, T):
+                return c, render_one(fg_params, T_WO_1, T_WC_1, bg, T)
+
+            _, imgs = jax.lax.scan(r_body, 0, pose_group)  # (B, res, res, 3) u8
+            imgs = jnp.rot90(imgs, k=1, axes=(1, 2))  # clip_scoring.py:145
+            pixels = preprocess_images(imgs, clip_cfg)
+            emb = encode_image(clip_params, clip_cfg, pixels)
+            lg = logits_per_image(clip_params, emb, txt_emb)
+            return carry, reduce_logits(lg, n_norm_captions, use_templates)
+
+        _, scores = jax.lax.scan(group_body, 0, groups)
+        return scores.reshape(-1)
+
+    if mesh is None:
+        return jax.jit(score_local)
+
+    sharded = jax.shard_map(
+        score_local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
