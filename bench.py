@@ -102,20 +102,30 @@ def main():
     clip_params = init_clip_params(jax.random.PRNGKey(0), clip_cfg)
     txt_emb = jnp.asarray(np.random.default_rng(0).normal(size=(2, clip_cfg.projection_dim)).astype(np.float32))
 
-    clip_batch = int(os.environ.get("D2R_BENCH_CLIP_BATCH", "16"))
+    clip_batch = int(os.environ.get("D2R_BENCH_CLIP_BATCH", "32"))
+    # Movable-object AABB (the red box) + margin: drives the cropped fast
+    # path — fg marched only in its projected window with a tight t-range.
+    b0 = scene.boxes[0]
+    pad = 0.03
+    obj_aabb = (
+        tuple(np.asarray(b0.lo) - pad),
+        tuple(np.asarray(b0.hi) + pad),
+    )
+    fg_crop = int(os.environ.get("D2R_BENCH_FG_CROP", "128"))
     score_fn = make_imagine_and_score(
         ngp_cfg, clip_cfg, settings, dirs_cam, n_norm_captions=1,
         clip_batch=clip_batch,
+        obj_aabb=obj_aabb, fg_crop=fg_crop, intrinsics=K,
     )
     T_WO = jnp.eye(4).at[:3, 3].set(jnp.asarray(list(scene.centre)))
 
-    n_poses = int(os.environ.get("D2R_BENCH_POSES", "256"))
+    n_poses = int(os.environ.get("D2R_BENCH_POSES", "512"))
     grid = sample_poses_grid(scene.centre, [16, n_poses // 16, 1, 1, 1, 1], scene_type=3)
     poses = jnp.asarray(np.asarray(grid).reshape(-1, 4, 4)[:n_poses])
 
     # Warmup / compile. NOTE: single dispatches are kept to ~dispatch_poses
     # poses — the TPU runtime kills launches running longer than ~1-2 min.
-    dispatch_poses = int(os.environ.get("D2R_BENCH_DISPATCH", "64"))
+    dispatch_poses = int(os.environ.get("D2R_BENCH_DISPATCH", "256"))
     warm = score_fn(fg_params, clip_params, T_WO, T_WC, bg, txt_emb, poses[:dispatch_poses])
     _ = float(np.asarray(warm).sum())
     t0 = time.time()

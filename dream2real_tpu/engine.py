@@ -349,6 +349,20 @@ class ImaginationEngine:
             fg = task_model.movable_obj.vis_model
             bg = task_model.task_bground_obj.vis_model
             res = getattr(self.cfg, "render_res", 336)
+            # Object AABB from the movable's collision shell -> cropped fast
+            # path (fg marched only in its projected window).
+            fg_phys_h = task_model.movable_obj.phys_model
+            obj_aabb = None
+            fg_crop = 0
+            if fg_phys_h is not None and getattr(fg_phys_h, "points", None) is not None:
+                pts = fg_phys_h.points
+                pv = pts[pts[:, 3] > 0, :3]
+                if len(pv):
+                    pad = 0.03
+                    obj_aabb = (
+                        tuple(pv.min(axis=0) - pad), tuple(pv.max(axis=0) + pad)
+                    )
+                    fg_crop = int(self.cfg.raw.get("engine", {}).get("fg_crop", res // 2))
             clip_K = clip_view_intrinsics_like(
                 self.scene_model.intrinsics,
                 (self.cfg.height, self.cfg.width),
@@ -360,6 +374,8 @@ class ImaginationEngine:
                 res=res,
                 intrinsics=clip_K,
                 out_render_path=os.path.join(self.data_dir, "cb_render"),
+                obj_aabb=obj_aabb,
+                fg_crop=fg_crop,
             )
 
         if self.use_cache_goal_pose:

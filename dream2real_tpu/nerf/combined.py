@@ -67,6 +67,88 @@ def composite_one(fg_rgb, fg_alpha, fg_depth, bg: BackgroundView) -> jnp.ndarray
     return jnp.where(alpha_u8[..., None] < 130, jnp.uint8(0), img_u8)
 
 
+def crop_window(T_WC_2, obj_aabb, intrinsics, res: int, crop: int):
+    """Pixel window (v0, u0) of a crop x crop box centred on the projected
+    object AABB. The fg object occupies a small screen region; rendering only
+    this window (with a tight march range) is the main imagination-loop
+    speedup over the reference's full-frame fg renders."""
+    lo = jnp.asarray(obj_aabb[0])
+    hi = jnp.asarray(obj_aabb[1])
+    corners = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.where(i & 1, hi[0], lo[0]),
+                    jnp.where(i & 2, hi[1], lo[1]),
+                    jnp.where(i & 4, hi[2], lo[2]),
+                ]
+            )
+            for i in range(8)
+        ]
+    )  # (8, 3)
+    from dream2real_tpu.ops.se3 import pose_inverse
+
+    T_CW = pose_inverse(T_WC_2)
+    cam = corners @ T_CW[:3, :3].T + T_CW[:3, 3]
+    z = jnp.maximum(cam[:, 2], 1e-2)
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    u = cam[:, 0] / z * fx + cx
+    v = cam[:, 1] / z * fy + cy
+    uc = (u.min() + u.max()) * 0.5
+    vc = (v.min() + v.max()) * 0.5
+    u0 = jnp.clip(jnp.round(uc - crop / 2).astype(jnp.int32), 0, res - crop)
+    v0 = jnp.clip(jnp.round(vc - crop / 2).astype(jnp.int32), 0, res - crop)
+    return v0, u0
+
+
+def background_only_image(bg: BackgroundView) -> jnp.ndarray:
+    """Full-frame postprocessed background (what every pixel outside the fg
+    crop shows): composite with an empty foreground."""
+    res = bg.rgb.shape[0]
+    empty = jnp.zeros((res, res))
+    return composite_one(jnp.zeros((res, res, 3)), empty, empty, bg)
+
+
+def render_pose_cropped(
+    fg_params,
+    fg_cfg: NGPConfig,
+    settings: RenderSettings,
+    dirs_cam: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    obj_aabb,
+    crop: int,
+    T_WO_1,
+    T_WC_1,
+    bg: BackgroundView,
+    bg_only_u8: jnp.ndarray,
+    T_WO_2,
+) -> jnp.ndarray:
+    """Fast-path single-pose render: fg marched only inside the object's
+    projected crop window with a tight t-range, composited into the
+    precomputed background frame. Returns (res, res, 3) u8."""
+    from dream2real_tpu.nerf.render import render_rays
+    from dream2real_tpu.ops.se3 import convert_virtual_pose
+
+    T_WC_2 = convert_virtual_pose(T_WO_1, T_WO_2, T_WC_1)
+    v0, u0 = crop_window(T_WC_2, obj_aabb, intrinsics, dirs_cam.shape[0], crop)
+    d_crop = jax.lax.dynamic_slice(dirs_cam, (v0, u0, 0), (crop, crop, 3))
+    R = T_WC_2[:3, :3]
+    t = T_WC_2[:3, 3]
+    dirs = jnp.einsum("ij,hwj->hwi", R, d_crop)
+    origins = jnp.broadcast_to(t, dirs.shape)
+    out = render_rays(
+        fg_params, fg_cfg, origins, dirs, settings, march_aabb=obj_aabb
+    )
+    bg_crop = BackgroundView(
+        rgb=jax.lax.dynamic_slice(bg.rgb, (v0, u0, 0), (crop, crop, 3)),
+        alpha=jax.lax.dynamic_slice(bg.alpha, (v0, u0), (crop, crop)),
+        depth=jax.lax.dynamic_slice(bg.depth, (v0, u0), (crop, crop)),
+    )
+    img_crop = composite_one(out["rgb"], out["alpha"], out["depth"], bg_crop)
+    return jax.lax.dynamic_update_slice(bg_only_u8, img_crop, (v0, u0, 0))
+
+
 class CombinedRenderer:
     """Foreground/background NeRF combined renderer.
 
@@ -87,6 +169,9 @@ class CombinedRenderer:
         out_render_path: Optional[str] = None,
         poses_per_dispatch: int = 64,
         row_chunk: int = 56,
+        obj_aabb=None,
+        fg_crop: int = 0,
+        crop_settings: Optional[RenderSettings] = None,
     ):
         self.fg_params, self.fg_cfg = fg_params, fg_cfg
         self.bg_params, self.bg_cfg = bg_params, bg_cfg
@@ -99,6 +184,18 @@ class CombinedRenderer:
         self.out_render_path = out_render_path
         self.poses_per_dispatch = poses_per_dispatch
         self.row_chunk = row_chunk if res % max(row_chunk, 1) == 0 else 0
+        # Fast path: march the fg only inside the object's projected crop
+        # window with a tight t-range (obj_aabb = movable object's world
+        # bounds at its initial pose — static for all candidate poses thanks
+        # to the virtual-camera trick).
+        self.obj_aabb = obj_aabb
+        self.fg_crop = min(fg_crop, res) if fg_crop else 0
+        self.crop_settings = crop_settings or settings._replace(
+            # Uniform sampling: the march range is already tight (the object
+            # AABB), so hierarchical resampling costs more than it saves
+            # (~19ms/pose measured on v5e for the pdf machinery alone).
+            n_coarse=32, n_fine=0
+        )
         self._render_chunk = None
 
     # ---------------------------------------------------------------- bg
@@ -140,21 +237,32 @@ class CombinedRenderer:
 
     def _build_render_chunk(self):
         settings, fg_cfg, dirs_cam = self.settings, self.fg_cfg, self.dirs_cam
-
         rc = self.row_chunk
+        use_crop = self.fg_crop and self.obj_aabb is not None
+        crop = self.fg_crop
+        crop_settings = self.crop_settings
+        obj_aabb = self.obj_aabb
+        K = jnp.asarray(self.intrinsics)
 
         def render_one(carry, T_WO_2):
-            fg_params, T_WO_1, T_WC_1, bg = carry
-            T_WC_2 = convert_virtual_pose(T_WO_1, T_WO_2, T_WC_1)
-            out = render_image(
-                fg_params, fg_cfg, T_WC_2, dirs_cam, settings, row_chunk=rc
-            )
-            img = composite_one(out["rgb"], out["alpha"], out["depth"], bg)
+            fg_params, T_WO_1, T_WC_1, bg, bg_only = carry
+            if use_crop:
+                img = render_pose_cropped(
+                    fg_params, fg_cfg, crop_settings, dirs_cam, K, obj_aabb,
+                    crop, T_WO_1, T_WC_1, bg, bg_only, T_WO_2,
+                )
+            else:
+                T_WC_2 = convert_virtual_pose(T_WO_1, T_WO_2, T_WC_1)
+                out = render_image(
+                    fg_params, fg_cfg, T_WC_2, dirs_cam, settings, row_chunk=rc
+                )
+                img = composite_one(out["rgb"], out["alpha"], out["depth"], bg)
             return carry, img
 
         @jax.jit
         def render_chunk(fg_params, T_WO_1, poses, T_WC_1, bg: BackgroundView):
-            carry = (fg_params, T_WO_1, T_WC_1, bg)
+            bg_only = background_only_image(bg)
+            carry = (fg_params, T_WO_1, T_WC_1, bg, bg_only)
             _, imgs = jax.lax.scan(render_one, carry, poses)
             return imgs  # (P, res, res, 3) u8
 

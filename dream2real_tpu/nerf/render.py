@@ -115,17 +115,26 @@ def render_rays(
     dirs: jnp.ndarray,
     settings: RenderSettings,
     key=None,
+    march_aabb=None,
 ):
     """March rays through the field.
 
     origins (..., 3) world; dirs (..., 3) world, z-normalized (not unit).
     Returns dict with premultiplied linear 'rgb' (..., 3), 'alpha' (...,),
     'depth' (...,) (z-depth), 'weights'/'ts' for training losses.
+
+    march_aabb: optional (lo, hi) tighter box to march (e.g. the movable
+    object's bounds in the imagination loop): the t-range comes from this box
+    and density outside it is zeroed (suppresses field floaters AND lets a
+    small fixed sample count cover the box densely).
     """
     d_norm = jnp.linalg.norm(dirs, axis=-1)
     unit_dirs = dirs / d_norm[..., None]
 
-    t0, t1 = ray_aabb(origins, dirs, cfg.aabb_min, cfg.aabb_max)
+    box_lo, box_hi = (
+        (cfg.aabb_min, cfg.aabb_max) if march_aabb is None else march_aabb
+    )
+    t0, t1 = ray_aabb(origins, dirs, box_lo, box_hi)
     t0 = jnp.maximum(t0, settings.near)
     t1 = jnp.minimum(t1, settings.far)
     valid = t1 > t0
@@ -159,6 +168,11 @@ def render_rays(
     pos = origins[..., None, :] + dirs[..., None, :] * ts_all[..., None]
     sh_dirs = jnp.broadcast_to(unit_dirs[..., None, :], pos.shape)
     sigma, rgb = field_fn(params, pos, sh_dirs, cfg, settings.compute_dtype)
+    if march_aabb is not None:
+        inbox = jnp.all(
+            (pos >= jnp.asarray(box_lo)) & (pos <= jnp.asarray(box_hi)), axis=-1
+        )
+        sigma = jnp.where(inbox, sigma, 0.0)
     comp_rgb, acc, depth, weights = _composite(
         sigma, rgb, ts_all, d_norm, settings.min_transmittance
     )

@@ -1,0 +1,138 @@
+"""Combined renderer: compositing semantics + cropped fast path parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dream2real_tpu.data import synth
+from dream2real_tpu.nerf.combined import (
+    BackgroundView,
+    CombinedRenderer,
+    background_only_image,
+    composite_one,
+    crop_window,
+)
+from dream2real_tpu.nerf.model import NGPConfig
+from dream2real_tpu.nerf.render import RenderSettings
+from dream2real_tpu.nerf.trainer import (
+    TrainConfig,
+    init_train_state,
+    make_train_chunk,
+    train_with_governor,
+)
+from dream2real_tpu.ops import cameras
+
+
+def test_composite_one_semantics():
+    res = 8
+    bg = BackgroundView(
+        rgb=jnp.full((res, res, 3), 0.25),
+        alpha=jnp.ones((res, res)),
+        depth=jnp.full((res, res), 1.0),
+    )
+    fg_rgb = jnp.full((res, res, 3), 0.5)
+    # fg nearer in the top half, farther in the bottom half; bottom-left fg
+    # depth < 0.05 -> pushed to 100 (combined_rendering.py:134).
+    fg_depth = jnp.concatenate(
+        [jnp.full((res // 2, res), 0.5), jnp.full((res // 2, res), 2.0)]
+    )
+    fg_depth = fg_depth.at[-1, 0].set(0.01)
+    fg_alpha = jnp.ones((res, res))
+    img = np.asarray(composite_one(fg_rgb, fg_alpha, fg_depth, bg))
+    # Top half shows fg (0.5 linear -> srgb ~ 0.735 -> 188).
+    assert abs(int(img[0, 0, 0]) - 188) <= 1
+    # Bottom half shows bg (0.25 -> srgb ~ 0.537 -> 137).
+    assert abs(int(img[-1, 4, 0]) - 137) <= 1
+    # Depth<0.05 guard: that pixel falls back to bg.
+    assert abs(int(img[-1, 0, 0]) - 137) <= 1
+
+    # Low alpha -> black (alpha_u8 < 130 rule).
+    img2 = np.asarray(
+        composite_one(fg_rgb * 0.3, fg_alpha * 0.3, fg_depth, bg._replace(alpha=jnp.zeros((res, res))))
+    )
+    assert (img2[0] == 0).all()
+
+    # background_only_image == composite with empty fg.
+    bg_only = np.asarray(background_only_image(bg))
+    assert abs(int(bg_only[0, 0, 0]) - 137) <= 1
+
+
+def test_crop_window_basics():
+    res, crop = 64, 24
+    K = jnp.asarray([[64.0, 0, 32.0], [0, 64.0, 32.0], [0, 0, 1.0]])
+    # Camera at origin looking +z; object box centred on the axis at z=1.
+    T = jnp.eye(4)
+    aabb = ((-0.05, -0.05, 0.9), (0.05, 0.05, 1.1))
+    v0, u0 = crop_window(T, aabb, K, res, crop)
+    assert abs(int(u0) - (32 - 12)) <= 1
+    assert abs(int(v0) - (32 - 12)) <= 1
+    # Object far to the side -> window clamps inside the frame.
+    aabb2 = ((5.0, -0.05, 0.9), (5.1, 0.05, 1.1))
+    v02, u02 = crop_window(T, aabb2, K, res, crop)
+    assert int(u02) == res - crop and 0 <= int(v02) <= res - crop
+
+
+def test_cropped_render_matches_full(tmp_path):
+    """The fast path must produce (nearly) the same images as the full-frame
+    path when the object fits inside the crop window."""
+    scene = synth.default_scene()
+    res = 64
+    f = 0.9 * res
+    K = np.array([[f, 0, res / 2], [0, f, res / 2], [0, 0, 1.0]])
+    cams = synth.orbit_poses(scene.centre, 8, radius=0.5, height=0.4)
+    rgba, depths = [], []
+    for i in range(len(cams)):
+        rgb, depth, inst = synth.render_scene(scene, cams[i], K, res, res)
+        a = np.where(inst == 1, 255, 0).astype(np.uint8)  # movable-only alpha
+        rgba.append(np.concatenate([rgb, a[..., None]], -1))
+        depths.append(depth)
+    rgba = jnp.asarray(np.stack(rgba))
+
+    cfg = NGPConfig(
+        field_type="mlp", mlp_width=48, mlp_depth=3, skip_layer=2, posenc_deg=5,
+        geo_feat_dim=7, aabb_min=(0.0, -0.6, -0.1), aabb_max=(1.1, 0.6, 0.9),
+    )
+    tc = TrainConfig(n_steps=200, batch_rays=512, poll_steps=100,
+                     dynamic_time_extension=False)
+    settings = RenderSettings(n_coarse=24, n_fine=24, near=0.05, far=2.0)
+    dirs_cam = cameras.pixel_dirs(res, res, jnp.asarray(K))
+    state = init_train_state(cfg, tc, n_images=len(cams))
+    chunk = make_train_chunk(
+        cfg, tc, settings, rgba, jnp.asarray(cams.astype(np.float32)), dirs_cam,
+        depths=jnp.asarray(np.stack(depths)),
+    )
+    state, _ = train_with_governor(chunk, state, tc)
+    fg_params = state["params"]["field"]
+
+    b0 = scene.boxes[0]
+    obj_aabb = (tuple(np.asarray(b0.lo) - 0.03), tuple(np.asarray(b0.hi) + 0.03))
+    T_WO_1 = np.eye(4, dtype=np.float32)
+    T_WO_1[:3, 3] = (np.asarray(b0.lo) + np.asarray(b0.hi)) / 2
+    # Candidate poses: stay + shift.
+    poses = np.stack([T_WO_1, T_WO_1.copy()])
+    poses[1][:3, 3] += [0.1, 0.05, 0]
+
+    common = dict(
+        settings=settings, res=res, intrinsics=K, row_chunk=16,
+    )
+    full = CombinedRenderer(fg_params, cfg, fg_params, cfg, **common)
+    cropped = CombinedRenderer(
+        fg_params, cfg, fg_params, cfg, obj_aabb=obj_aabb, fg_crop=40,
+        crop_settings=settings, **common,
+    )
+    args = dict(
+        render_poses=cams[:1].astype(np.float32),
+        render_cam_pose_idx=[0],
+        depths_gt=np.stack(depths[:1]),
+        movable_masks=None,
+        T_WO_1=T_WO_1,
+        save=False,
+    )
+    imgs_full = full.render(poses, **args)
+    imgs_crop = cropped.render(poses, **args)
+    assert imgs_full.shape == imgs_crop.shape == (2, res, res, 3)
+    # Identical sampling counts inside the box; outside the crop both show
+    # the background. Allow small differences from t-sampling placement.
+    diff = np.abs(imgs_full.astype(int) - imgs_crop.astype(int))
+    assert np.mean(diff) < 3.0, np.mean(diff)
+    assert np.quantile(diff, 0.99) <= 30, np.quantile(diff, 0.99)
