@@ -55,13 +55,21 @@ class D2RDataLoader:
         T_WC = np.loadtxt(self.traj_file).reshape([-1, 4, 4])
         size = len(T_WC)
         self.size = size
-        rgbs = np.empty((size, self.height, self.width, 3), np.uint8)
-        depths = np.empty((size, self.height, self.width), np.float32)
-        for idx in range(size):
-            rgb = _imread(os.path.join(self.rgb_dir, f"rgb_{idx:04d}.png"))
-            rgbs[idx] = rgb[..., :3]
-            depth = _imread(os.path.join(self.depth_dir, f"depth_{idx:04d}.png"))
-            depths[idx] = depth.astype(np.float32) / 1000.0  # mm -> metres
+        # Fast path: native C++ batch ingest (PNG decode + mm->m in one call,
+        # dream2real_tpu/native). Falls back to PIL per frame.
+        from dream2real_tpu import native
+
+        loaded = native.load_rgbd_dataset(self.root_dir, size, self.height, self.width)
+        if loaded is not None:
+            rgbs, depths = loaded
+        else:
+            rgbs = np.empty((size, self.height, self.width, 3), np.uint8)
+            depths = np.empty((size, self.height, self.width), np.float32)
+            for idx in range(size):
+                rgb = _imread(os.path.join(self.rgb_dir, f"rgb_{idx:04d}.png"))
+                rgbs[idx] = rgb[..., :3]
+                depth = _imread(os.path.join(self.depth_dir, f"depth_{idx:04d}.png"))
+                depths[idx] = depth.astype(np.float32) / 1000.0  # mm -> metres
         self.rgb_data = jnp.asarray(rgbs)
         self.depth_data = jnp.asarray(depths)
         self.T_WC_data = jnp.asarray(T_WC.astype(np.float32))
