@@ -84,9 +84,16 @@ def _make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
             "ext_trans": "ext",
         }
 
+    # NOTE: instant-ngp's adam eps=1e-15 suits sparse hash-table updates; for
+    # a dense MLP it degenerates to sign-SGD at lr, which oscillates when
+    # fine-tuning a warm-started field with mixed losses. Standard eps +
+    # cosine decay is stable for both cold and warm starts.
+    schedule = optax.cosine_decay_schedule(
+        tc.lr, decay_steps=max(tc.n_steps, 1), alpha=0.01
+    )
     field_tx = optax.chain(
         optax.add_decayed_weights(tc.weight_decay),
-        optax.adam(tc.lr, b1=0.9, b2=0.99, eps=1e-15),
+        optax.adam(schedule, b1=0.9, b2=0.99, eps=1e-8),
     )
     # NOTE: extrinsics need a *gentler* optimizer than the field. With adam
     # eps=1e-15 every step moves each pose by ~ext_lr radians/metres no matter
@@ -116,15 +123,29 @@ def make_train_chunk(
     dirs_cam: jnp.ndarray,  # (H, W, 3) z-normalized camera-frame pixel dirs
     depths: jnp.ndarray | None = None,  # (N, H, W) float32 z-depth metres, 0=invalid
     ray_sharding=None,
+    fg_pixels: jnp.ndarray | None = None,  # (M, 3) int32 [img, y, x] opaque px
 ):
-    """Build the jitted train_chunk(state) -> (state, mean_loss) function."""
+    """Build the jitted train_chunk(state) -> (state, mean_loss) function.
+
+    fg_pixels: for alpha-masked task NeRFs (fg/bg training images where only
+    a few % of pixels are opaque, ngp_visual_model.py:39-46) uniform ray
+    sampling starves the object and the field collapses to empty; when given,
+    half of each ray batch is drawn from these opaque pixels.
+    """
     n_img, h, w = images_rgba.shape[:3]
 
     def sample_batch(key):
-        k1, k2, k3, k4 = jax.random.split(key, 4)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         img_idx = jax.random.randint(k1, (tc.batch_rays,), 0, n_img)
         py = jax.random.randint(k2, (tc.batch_rays,), 0, h)
         px = jax.random.randint(k3, (tc.batch_rays,), 0, w)
+        if fg_pixels is not None:
+            n_fg = tc.batch_rays // 2
+            sel = jax.random.randint(k5, (n_fg,), 0, fg_pixels.shape[0])
+            chosen = fg_pixels[sel]
+            img_idx = img_idx.at[:n_fg].set(chosen[:, 0])
+            py = py.at[:n_fg].set(chosen[:, 1])
+            px = px.at[:n_fg].set(chosen[:, 2])
         bg = jax.random.uniform(k4, (tc.batch_rays, 3))
         return img_idx, py, px, bg
 

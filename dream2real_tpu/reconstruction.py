@@ -155,6 +155,7 @@ def build_vis_model(
     field_overrides: Optional[dict] = None,
     train_overrides: Optional[dict] = None,
     log_fn=None,
+    warm_start: bool = True,
 ):
     """Train a NeRF per config; returns (NGPModel, opt_cam_poses or None).
 
@@ -185,6 +186,9 @@ def build_vis_model(
         n_steps=max(1, int(cfg.n_steps * steps_scale)),
         optimize_extrinsics=bool(cfg.optimize_extrinsics),
         dynamic_time_extension=dynamic_time_extension and not render_distract,
+        # Scale the governor's hard cap with the step scale so quick runs
+        # cannot be extended back to 40k steps (train_ngp.py:97 semantics).
+        max_infinity_steps=max(1000, int(40000 * steps_scale)),
     )
     if train_overrides:
         tc_kw.update(train_overrides)
@@ -196,13 +200,27 @@ def build_vis_model(
     )
     state = init_train_state(ngp_cfg, tc, n_images=len(imgs))
 
-    if cfg.load_snapshot and os.path.exists(snapshot_path(cfg.load_snapshot_path)):
+    if warm_start and cfg.load_snapshot and os.path.exists(snapshot_path(cfg.load_snapshot_path)):
         # Warm start from the full-scene snapshot (ngp_visual_model.py:52-57).
         params_loaded, cfg_loaded, _ = load_snapshot(snapshot_path(cfg.load_snapshot_path))
         if cfg_loaded == ngp_cfg:
             state["params"]["field"] = (
                 params_loaded["field"] if "field" in params_loaded else params_loaded
             )
+
+    # Alpha-masked training set (fg/bg task NeRFs): importance-sample the
+    # opaque pixels, else the mostly-transparent supervision starves the
+    # object and the field collapses to empty.
+    fg_pixels = None
+    alpha = imgs[..., 3]
+    opaque_frac = float((alpha > 127).mean())
+    if opaque_frac < 0.5:
+        coords = np.argwhere(alpha > 127)
+        if len(coords):
+            if len(coords) > (1 << 20):
+                sel = np.linspace(0, len(coords) - 1, 1 << 20).astype(int)
+                coords = coords[sel]
+            fg_pixels = jnp.asarray(coords.astype(np.int32))
 
     chunk = make_train_chunk(
         ngp_cfg,
@@ -212,6 +230,7 @@ def build_vis_model(
         jnp.asarray(poses),
         dirs_cam,
         depths=None if depths is None else jnp.asarray(depths),
+        fg_pixels=fg_pixels,
     )
     state, losses = train_with_governor(chunk, state, tc, log_fn=log_fn)
 
@@ -287,8 +306,14 @@ def get_vis_ngps(
     scene_phys_bounds=None,
     field_overrides: Optional[dict] = None,
     train_overrides: Optional[dict] = None,
+    warm_start: bool = False,
 ) -> NGPModel:
     """Build (or load) the fg / task-bg NeRF. Parity: ngp_visual_model.py:20-79.
+
+    warm_start: the reference warm-starts fg/bg from full_base.ingp
+    (ngp_visual_model.py:52-57) because NGP hash features transfer; the MLP
+    field fine-tunes WORSE than it cold-starts (stale full-scene geometry must
+    be unlearned), so cold start is the default here.
 
     movable_masks semantics (scene_model.py:104): True = pixels to make
     TRANSPARENT (mask as inverted alpha, ngp_visual_model.py:43-44).
@@ -323,5 +348,6 @@ def get_vis_ngps(
         depths=depths,
         field_overrides=field_overrides,
         train_overrides=train_overrides,
+        warm_start=warm_start,
     )
     return model

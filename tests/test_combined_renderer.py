@@ -97,9 +97,11 @@ def test_cropped_render_matches_full(tmp_path):
     settings = RenderSettings(n_coarse=24, n_fine=24, near=0.05, far=2.0)
     dirs_cam = cameras.pixel_dirs(res, res, jnp.asarray(K))
     state = init_train_state(cfg, tc, n_images=len(cams))
+    alpha = np.asarray(rgba[..., 3])
+    fg_pixels = jnp.asarray(np.argwhere(alpha > 127).astype(np.int32))
     chunk = make_train_chunk(
         cfg, tc, settings, rgba, jnp.asarray(cams.astype(np.float32)), dirs_cam,
-        depths=jnp.asarray(np.stack(depths)),
+        depths=jnp.asarray(np.stack(depths)), fg_pixels=fg_pixels,
     )
     state, _ = train_with_governor(chunk, state, tc)
     fg_params = state["params"]["field"]
@@ -131,8 +133,20 @@ def test_cropped_render_matches_full(tmp_path):
     imgs_full = full.render(poses, **args)
     imgs_crop = cropped.render(poses, **args)
     assert imgs_full.shape == imgs_crop.shape == (2, res, res, 3)
-    # Identical sampling counts inside the box; outside the crop both show
-    # the background. Allow small differences from t-sampling placement.
+    # The renders must actually CONTAIN the red movable object (an empty
+    # field would trivially 'match'): red-dominant pixels present in both.
+    for imgs in (imgs_full, imgs_crop):
+        red = (imgs[0, :, :, 0].astype(int) - imgs[0, :, :, 1]) > 40
+        assert red.sum() > 10, f"movable object missing from render ({red.sum()})"
+    # The full path undersamples (48 samples span the whole scene depth; the
+    # crop path spans only the object box), so allow a loose pixel tolerance
+    # but require structural agreement: the object lands in the same place.
     diff = np.abs(imgs_full.astype(int) - imgs_crop.astype(int))
-    assert np.mean(diff) < 3.0, np.mean(diff)
-    assert np.quantile(diff, 0.99) <= 30, np.quantile(diff, 0.99)
+    assert np.mean(diff) < 15.0, np.mean(diff)
+    for p in range(2):
+        rf = np.argwhere((imgs_full[p, :, :, 0].astype(int) - imgs_full[p, :, :, 1]) > 40)
+        rc = np.argwhere((imgs_crop[p, :, :, 0].astype(int) - imgs_crop[p, :, :, 1]) > 40)
+        if len(rf) > 10 and len(rc) > 10:
+            assert np.linalg.norm(rf.mean(0) - rc.mean(0)) < 6.0
+    # The two candidate poses must produce visibly different renders.
+    assert np.abs(imgs_crop[0].astype(int) - imgs_crop[1].astype(int)).max() > 50
