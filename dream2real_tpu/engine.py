@@ -332,6 +332,10 @@ class ImaginationEngine:
         if self.use_phys and not self.use_cache_renders:
             bg_phys = task_model.task_bground_obj.phys_model
             fg_phys = task_model.movable_obj.phys_model
+            # Handles retained for robot motion planning in embodied runs
+            # (dream2real.py:317-318 parity).
+            self.static_phys_handles = [bg_phys]
+            self.movable_phys_handle = fg_phys
             phys_check = make_unsupcol_check(
                 bg_phys.tsdf,
                 fg_phys.points,

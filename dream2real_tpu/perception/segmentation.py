@@ -114,6 +114,182 @@ class Segmentor:
 
 
 # ---------------------------------------------------------------------------
+# SAM mask post-processing suite (sam_seg.py:34-113 parity, numpy/cv2).
+# These run on lists of boolean instance masks from any first-frame segmenter.
+
+
+def subpart_suppression(masks: list[np.ndarray], threshold: float = 0.1) -> list[np.ndarray]:
+    """Drop the smaller of any overlapping pair (sam_seg.py:34-51)."""
+    remove = set()
+    for i in range(len(masks)):
+        ai = masks[i].sum()
+        for j in range(i + 1, len(masks)):
+            aj = masks[j].sum()
+            inter = (masks[i] & masks[j]).sum()
+            if (ai and inter / ai > threshold) or (aj and inter / aj > threshold):
+                remove.add(i if ai < aj else j)
+    return [m for k, m in enumerate(masks) if k not in remove]
+
+
+def large_obj_suppression(masks, img_shape, threshold: float = 0.3):
+    """Drop masks covering > threshold of the image (background objects,
+    sam_seg.py:53-56)."""
+    area = img_shape[0] * img_shape[1]
+    return [m for m in masks if m.sum() / area <= threshold]
+
+
+def small_obj_suppression(masks, area_thresh: int = 80, side_thresh: int = 20):
+    """Drop tiny/sliver masks that cannot be grasped (sam_seg.py:58-61)."""
+    out = []
+    for m in masks:
+        if m.sum() < area_thresh:
+            continue
+        try:
+            if get_smallest_side(m)[1] <= side_thresh:
+                continue
+        except (ValueError, IndexError):
+            continue
+        out.append(m)
+    return out
+
+
+def disconnected_components_suppression(masks):
+    """Keep only single-island masks after a 5px dilation bridge
+    (sam_seg.py:65-68)."""
+    out = []
+    for m in masks:
+        d = cv2.dilate(m.astype(np.uint8), np.ones((5, 5), np.uint8))
+        if cv2.connectedComponents(d)[0] == 2:
+            out.append(m)
+    return out
+
+
+def build_background_mask(masks, inflation_factor: float = 1.6) -> np.ndarray:
+    """Background = complement of the union of inflated object masks
+    (sam_seg.py:107-113; inflation removes object shadows)."""
+    inflated = [rescale_mask(m.astype(np.uint8), inflation_factor) > 0 for m in masks]
+    return ~np.logical_or.reduce(inflated)
+
+
+def postprocess_sam_masks(masks, img_shape, scene_bound_mask=None):
+    """The full SAM post-proc pipeline + background insertion at index 0
+    (sam_seg.py:69-116). Returns a list of boolean masks, bground first."""
+    masks = [np.asarray(m, bool) for m in masks]
+    if scene_bound_mask is not None:
+        sb = np.asarray(scene_bound_mask, bool)
+        masks = [m & sb for m in masks]
+    masks = disconnected_components_suppression(masks)
+    masks = large_obj_suppression(masks, img_shape)
+    masks = subpart_suppression(masks)
+    masks = small_obj_suppression(masks)
+    bg = build_background_mask(masks) if masks else np.ones(img_shape[:2], bool)
+    return [bg] + masks
+
+
+def integrate_masks(masks) -> np.ndarray:
+    """List of boolean masks -> uint8 instance-id image (XMem_infer.py:256-261).
+
+    Later masks overwrite earlier ones, matching the reference's loop order.
+    """
+    out = np.zeros(np.asarray(masks[0]).shape, np.uint8)
+    for idx, m in enumerate(masks):
+        out[np.asarray(m, bool)] = idx
+    return out
+
+
+def duplicate_prune(mask, depth, T_WC, intrinsics, scene_centre) -> np.ndarray:
+    """Per object id, keep only the connected component whose back-projected
+    centroid is nearest the scene centre (XMem_infer.py:264-316 parity —
+    kills duplicate blobs from video-propagation drift)."""
+    mask = np.asarray(mask)
+    depth = np.asarray(depth)
+    K = np.asarray(intrinsics)
+    T_CW = np.linalg.inv(np.asarray(T_WC))
+    centre = np.asarray(scene_centre, np.float64)
+    refined = np.zeros_like(mask)
+    for i in np.unique(mask):
+        if i == 0:
+            continue
+        curr = (mask == i).astype(np.uint8)
+        n_comps, comps = cv2.connectedComponents(curr)
+        if n_comps > 2:
+            best, best_dist = None, np.inf
+            for ci in range(1, n_comps):
+                cm = comps == ci
+                if cm.sum() < 200:
+                    continue
+                vs, us = np.nonzero(cm & (depth > 0))
+                if len(vs) == 0:
+                    continue
+                z = depth[vs, us]
+                x = (us - K[0, 2]) / K[0, 0] * z
+                y = (vs - K[1, 2]) / K[1, 1] * z
+                cam = np.stack([x, y, z], -1)
+                # Reference passes extrinsic=inv(T_WC) to Open3D, which
+                # produces WORLD-frame points.
+                world = cam @ np.asarray(T_WC)[:3, :3].T + np.asarray(T_WC)[:3, 3]
+                dist = np.linalg.norm(world.mean(0) - centre)
+                if dist < best_dist:
+                    best, best_dist = cm, dist
+            if best is not None:
+                refined[best] = i
+        else:
+            refined[comps == 1] = i
+    return refined.astype(np.uint8)
+
+
+def disconnected_prune(mask) -> np.ndarray:
+    """Per object id, keep only the largest connected component (>= 200 px)
+    (XMem_infer.py:317-350 parity)."""
+    mask = np.asarray(mask)
+    refined = np.zeros_like(mask)
+    for i in np.unique(mask):
+        if i == 0:
+            continue
+        curr = (mask == i).astype(np.uint8)
+        n_comps, comps = cv2.connectedComponents(curr)
+        if n_comps > 2:
+            best, best_area = None, 0
+            for ci in range(1, n_comps):
+                cm = comps == ci
+                area = cm.sum()
+                if area < 200:
+                    continue
+                if area >= best_area:
+                    best, best_area = cm, area
+            if best is not None:
+                refined[best] = i
+        else:
+            refined[comps == 1] = i
+    return refined.astype(np.uint8)
+
+
+def get_smallest_side(mask: np.ndarray):
+    """(direction, length) of the shortest min-area-rect side (sam_seg.py:202-218)."""
+    mask_im = mask.astype(np.uint8) * 255
+    contours, _ = cv2.findContours(mask_im, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)
+    max_contour = max(contours, key=len)
+    rect = cv2.minAreaRect(max_contour)
+    box = cv2.boxPoints(rect).astype(np.int64)
+    w = np.linalg.norm(box[0] - box[1])
+    h = np.linalg.norm(box[1] - box[2])
+    if w < h:
+        return (box[2] - box[0]) / max(w, 1e-9), w
+    return (box[3] - box[1]) / max(h, 1e-9), h
+
+
+def get_obj_img(img: np.ndarray, obj_mask: np.ndarray) -> np.ndarray:
+    """Tight RGBA crop of an object (sam_seg.py:119-138)."""
+    rows = np.where(obj_mask.any(axis=1))[0]
+    cols = np.where(obj_mask.any(axis=0))[0]
+    r0, r1 = rows[0], rows[-1]
+    c0, c1 = cols[0], cols[-1]
+    crop = img[r0 : r1 + 1, c0 : c1 + 1]
+    a = obj_mask[r0 : r1 + 1, c0 : c1 + 1].astype(img.dtype) * 255
+    return np.concatenate([crop, a[..., None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # Mask utilities (sam_seg.py parity, numpy/cv2).
 
 
