@@ -87,6 +87,8 @@ class Config:
             # render resolution (reference hardcodes 336, clip_scoring.py:25).
             self.sample_bounds = eng.get("sample_bounds", None)
             self.render_res = eng.get("render_res", 336)
+            # False -> fused on-device render+score (no cb_render artifacts).
+            self.save_renders = eng.get("save_renders", True)
 
         # trainer (cfg.py:56-68)
         tr = config["trainer"]

@@ -407,6 +407,7 @@ class ImaginationEngine:
                 clip_scorer=clip_scorer,
                 tokenizer=tokenizer,
                 bounds_override=self.sample_bounds,
+                save_renders=getattr(self.cfg, "save_renders", True),
             )
             np.savetxt(os.path.join(self.data_dir, "goal_pose.txt"), best_pose)
             np.savetxt(os.path.join(self.data_dir, "pose_batch.txt"), pose_batch)

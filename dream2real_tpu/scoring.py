@@ -23,6 +23,56 @@ from dream2real_tpu.sampling import get_virtual_cam_poses, sample_poses_grid
 from dream2real_tpu.smoothing import spatially_smooth_heatmap
 
 
+def _fused_score(
+    renderer, clip_scorer, tokenizer, task_model, valid_poses, render_poses,
+    depths_gt, movable_masks, T_WO_1, use_templates,
+):
+    """On-device render->composite->CLIP scoring (no per-render D2H).
+
+    Dispatches in slabs (the TPU runtime kills launches over ~1-2 min) padded
+    to the CLIP batch size; padding scores are discarded.
+    """
+    from dream2real_tpu.clip.scorer import build_captions
+    from dream2real_tpu.parallel.imagine import make_imagine_and_score
+
+    captions = build_captions(
+        task_model.goal_caption, task_model.norm_captions, use_templates
+    )
+    txt = clip_scorer.text_embeddings(np.asarray(tokenizer(captions)))
+    n_norm = 0 if task_model.norm_captions is None else len(task_model.norm_captions)
+    cb = min(32, clip_scorer.batch_size)
+    score_fn = make_imagine_and_score(
+        renderer.fg_cfg, clip_scorer.cfg, renderer.settings, renderer.dirs_cam,
+        n_norm_captions=n_norm, use_templates=use_templates, clip_batch=cb,
+        obj_aabb=renderer.obj_aabb, fg_crop=renderer.fg_crop,
+        crop_settings=renderer.crop_settings, intrinsics=renderer.intrinsics,
+        row_chunk=renderer.row_chunk,
+    )
+    bg = renderer.render_background(
+        jnp.asarray(render_poses[0]),
+        None if depths_gt is None else depths_gt[0],
+        None if movable_masks is None else movable_masks[0],
+    )
+    T_WC = jnp.asarray(np.asarray(render_poses[0], np.float32))
+    T_WO = jnp.asarray(np.asarray(T_WO_1, np.float32))
+    poses = np.asarray(valid_poses, np.float32).reshape(-1, 4, 4)
+    k = len(poses)
+    slab = max(cb, 256 // cb * cb)
+    out = np.empty(k, np.float32)
+    for s in range(0, k, slab):
+        chunk = poses[s : s + slab]
+        n = len(chunk)
+        pad = (-n) % cb
+        if pad:
+            chunk = np.concatenate([chunk, np.tile(np.eye(4, dtype=np.float32)[None], (pad, 1, 1))])
+        scores = score_fn(
+            renderer.fg_params, clip_scorer.params, T_WO, T_WC, bg,
+            txt, jnp.asarray(chunk),
+        )
+        out[s : s + n] = np.asarray(scores)[:n]
+    return out
+
+
 def optimise_pose_grid(
     renderer,
     depths_gt,
@@ -41,8 +91,17 @@ def optimise_pose_grid(
     tokenizer=None,
     bounds_override=None,
     seed: int = 0,
+    save_renders: bool = True,
 ):
-    """Returns (best_pose (4,4) np, pose_batch (N,16) np, pose_scores (N,) np)."""
+    """Returns (best_pose (4,4) np, pose_batch (N,16) np, pose_scores (N,) np).
+
+    save_renders=False enables the FUSED path: render->composite->CLIP scoring
+    stays on-device in one compiled program per pose slab (no per-render D2H,
+    no cb_render artifacts — the best render is re-rendered afterwards for
+    best_render.png). Requires a single render view, like every reference
+    demo config (render_cam_pose_idx=[0]; with multiple views the reference's
+    own score scatter at clip_scoring.py:205-206 would shape-mismatch).
+    """
     if sample_res is None:
         sample_res = [40, 40, 1, 1, 1, 1]
     scene_model = task_model.scene_model
@@ -96,29 +155,45 @@ def optimise_pose_grid(
         render_poses = get_virtual_cam_poses(
             scene_model.opt_cam_poses, render_cam_pose_idx
         )
-        print(f"Rendering {len(valid_poses)} imagined scenes...")
-        renders = renderer.render(
-            valid_poses,
-            render_poses,
-            render_cam_pose_idx,
-            depths_gt=depths_gt,
-            movable_masks=np.asarray(task_model.movable_masks)[
-                list(render_cam_pose_idx)
-            ],
-            T_WO_1=np.asarray(task_model.movable_obj.pose),
-            save=True,
+        movable_masks = np.asarray(task_model.movable_masks)[list(render_cam_pose_idx)]
+        T_WO_1 = np.asarray(task_model.movable_obj.pose)
+
+        fused = (
+            not save_renders
+            and not use_vis_pcds
+            and len(render_cam_pose_idx) == 1
+            and hasattr(renderer, "render_background")
         )
+        if fused:
+            print(f"Fused imagine-and-score over {len(valid_poses)} poses...")
+            scores_valid = _fused_score(
+                renderer, clip_scorer, tokenizer, task_model, valid_poses,
+                render_poses, depths_gt, movable_masks, T_WO_1, use_templates,
+            )
+            renders = None
+        else:
+            print(f"Rendering {len(valid_poses)} imagined scenes...")
+            renders = renderer.render(
+                valid_poses,
+                render_poses,
+                render_cam_pose_idx,
+                depths_gt=depths_gt,
+                movable_masks=movable_masks,
+                T_WO_1=T_WO_1,
+                save=save_renders,
+            )
 
     task_model.free_visual_models()  # lifecycle parity (clip_scoring.py:143)
 
-    print("Evaluating rendered images using CLIP...")
-    scores_valid = clip_scorer.score(
-        renders,
-        task_model.goal_caption,
-        task_model.norm_captions,
-        tokenizer,
-        use_templates=use_templates,
-    )
+    if renders is not None:
+        print("Evaluating rendered images using CLIP...")
+        scores_valid = clip_scorer.score(
+            renders,
+            task_model.goal_caption,
+            task_model.norm_captions,
+            tokenizer,
+            use_templates=use_templates,
+        )
 
     pose_scores = np.zeros(n, np.float32)
     pose_scores[valid_idxs] = scores_valid
@@ -132,8 +207,22 @@ def optimise_pose_grid(
         )
 
     best_pose_idx = int(np.argmax(pose_scores))
-    best_render = renders[render_idxs[best_pose_idx]]
     best_pose = valid_poses[render_idxs[best_pose_idx]]
+    if renders is not None:
+        best_render = renders[render_idxs[best_pose_idx]]
+    else:
+        # Fused path: materialize just the winning render for the artifact.
+        best_render = renderer.render(
+            best_pose[None],
+            get_virtual_cam_poses(scene_model.opt_cam_poses, render_cam_pose_idx),
+            render_cam_pose_idx,
+            depths_gt=depths_gt,
+            movable_masks=np.asarray(task_model.movable_masks)[
+                list(render_cam_pose_idx)
+            ],
+            T_WO_1=np.asarray(task_model.movable_obj.pose),
+            save=False,
+        )[0]
 
     from PIL import Image
 

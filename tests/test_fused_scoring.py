@@ -1,0 +1,107 @@
+"""Fused on-device imagine-and-score must match the render->CLIP path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dream2real_tpu.clip.model import CLIPConfig, init_clip_params
+from dream2real_tpu.clip.scorer import ClipScorer
+from dream2real_tpu.data import synth
+from dream2real_tpu.nerf.combined import CombinedRenderer
+from dream2real_tpu.nerf.model import NGPConfig
+from dream2real_tpu.nerf.render import RenderSettings
+from dream2real_tpu.nerf.trainer import (
+    TrainConfig,
+    init_train_state,
+    make_train_chunk,
+    train_with_governor,
+)
+from dream2real_tpu.ops import cameras
+from dream2real_tpu.scoring import _fused_score
+
+
+class _FakeTaskModel:
+    goal_caption = "a red box on the green box"
+    norm_captions = ["a red box and a green box"]
+
+
+def _tok(texts, vocab=128, ctx=16):
+    import hashlib
+
+    ids = np.zeros((len(texts), ctx), np.int32)
+    for r, t in enumerate(texts):
+        toks = [1]
+        for wd in t.split():
+            toks.append(2 + int(hashlib.md5(wd.encode()).hexdigest(), 16) % 124)
+        toks = toks[: ctx - 1] + [127]
+        ids[r, : len(toks)] = toks
+    return ids
+
+
+def test_fused_matches_unfused(rng):
+    scene = synth.default_scene()
+    res = 64
+    f = 0.9 * res
+    K = np.array([[f, 0, res / 2], [0, f, res / 2], [0, 0, 1.0]])
+    cams = synth.orbit_poses(scene.centre, 6, radius=0.5, height=0.4)
+    rgba, depths = [], []
+    for i in range(len(cams)):
+        rgb, depth, inst = synth.render_scene(scene, cams[i], K, res, res)
+        a = np.where(inst == 1, 255, 0).astype(np.uint8)
+        rgba.append(np.concatenate([rgb, a[..., None]], -1))
+        depths.append(depth)
+    rgba = jnp.asarray(np.stack(rgba))
+    ncfg = NGPConfig(
+        field_type="mlp", mlp_width=48, mlp_depth=3, skip_layer=2, posenc_deg=5,
+        geo_feat_dim=7, aabb_min=(0.0, -0.6, -0.1), aabb_max=(1.1, 0.6, 0.9),
+    )
+    tc = TrainConfig(n_steps=150, batch_rays=512, poll_steps=75,
+                     dynamic_time_extension=False)
+    settings = RenderSettings(n_coarse=16, n_fine=16, near=0.05, far=2.0)
+    dirs = cameras.pixel_dirs(res, res, jnp.asarray(K))
+    state = init_train_state(ncfg, tc, n_images=len(cams))
+    fgp = jnp.asarray(np.argwhere(np.asarray(rgba[..., 3]) > 127).astype(np.int32))
+    chunk = make_train_chunk(ncfg, tc, settings, rgba,
+                             jnp.asarray(cams.astype(np.float32)), dirs,
+                             depths=jnp.asarray(np.stack(depths)), fg_pixels=fgp)
+    state, _ = train_with_governor(chunk, state, tc)
+    fg_params = state["params"]["field"]
+
+    b0 = scene.boxes[0]
+    obj_aabb = (tuple(np.asarray(b0.lo) - 0.03), tuple(np.asarray(b0.hi) + 0.03))
+    T_WO_1 = np.eye(4, dtype=np.float32)
+    T_WO_1[:3, 3] = (np.asarray(b0.lo) + np.asarray(b0.hi)) / 2
+    renderer = CombinedRenderer(
+        fg_params, ncfg, fg_params, ncfg, settings=settings, res=res,
+        intrinsics=K, row_chunk=16, obj_aabb=obj_aabb, fg_crop=40,
+    )
+
+    ccfg = CLIPConfig(
+        eot_id=127, image_size=res, patch_size=16, vision_width=32,
+        vision_layers=2, vision_heads=4, vocab_size=128, context_length=16,
+        text_width=32, text_layers=2, text_heads=4, projection_dim=24,
+    )
+    scorer = ClipScorer(init_clip_params(jax.random.PRNGKey(7), ccfg), ccfg,
+                        batch_size=4)
+
+    poses = np.tile(T_WO_1[None], (8, 1, 1)).astype(np.float32)
+    poses[:, 0, 3] += np.linspace(-0.05, 0.15, 8)
+    tm = _FakeTaskModel()
+
+    fused = _fused_score(
+        renderer, scorer, _tok, tm, poses, cams[:1].astype(np.float32),
+        np.stack(depths[:1]), None, T_WO_1, use_templates=False,
+    )
+
+    renders = renderer.render(
+        poses, cams[:1].astype(np.float32), [0],
+        depths_gt=np.stack(depths[:1]), movable_masks=None,
+        T_WO_1=T_WO_1, save=False,
+    )
+    unfused = scorer.score(renders, tm.goal_caption, tm.norm_captions, _tok,
+                           use_templates=False)
+
+    assert fused.shape == unfused.shape == (8,)
+    np.testing.assert_allclose(fused, unfused, rtol=0.02, atol=0.02)
+    # Scores must vary across poses (not a constant function).
+    assert np.std(fused) > 1e-4
