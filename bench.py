@@ -74,7 +74,7 @@ def main():
     )
     ngp_cfg = NGPConfig(aabb_min=(0.0, -0.6, -0.1), aabb_max=(1.1, 0.6, 0.9))
     tc = TrainConfig(
-        n_steps=int(os.environ.get("D2R_BENCH_TRAIN_STEPS", "1000")),
+        n_steps=int(os.environ.get("D2R_BENCH_TRAIN_STEPS", "600")),
         batch_rays=8192, poll_steps=250, dynamic_time_extension=False,
     )
     settings = RenderSettings(n_coarse=32, n_fine=32, near=0.05, far=2.0)

@@ -21,7 +21,6 @@ import os
 import pathlib
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from dream2real_tpu.cfg import Config
@@ -415,12 +414,23 @@ class ImaginationEngine:
 
         if vis_cost_vol:
             try:
-                from dream2real_tpu.vis.cost_volume import export_cost_volume
+                from dream2real_tpu.vis.cost_volume import (
+                    export_cost_volume,
+                    export_multiverse,
+                )
 
                 export_cost_volume(
                     pose_scores, self.sample_res, pose_batch,
                     os.path.join(self.data_dir, "cost_volume.png"),
                 )
+                fg_h = task_model.movable_obj.phys_model
+                bg_h = task_model.task_bground_obj.phys_model
+                if fg_h is not None and getattr(fg_h, "points", None) is not None:
+                    export_multiverse(
+                        pose_scores, pose_batch, fg_h.points, movable_init_pose,
+                        os.path.join(self.data_dir, "multiverse.png"),
+                        bground_points=None if bg_h is None else bg_h.points,
+                    )
             except Exception as e:  # visualisation is best-effort
                 print("cost volume export skipped:", e)
 

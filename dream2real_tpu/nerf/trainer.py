@@ -21,8 +21,7 @@ optional jax.sharding.Sharding for the ray batch and replicates parameters
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

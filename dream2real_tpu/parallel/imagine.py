@@ -16,7 +16,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from dream2real_tpu.clip.model import (
     CLIPConfig,
@@ -25,7 +25,7 @@ from dream2real_tpu.clip.model import (
     preprocess_images,
 )
 from dream2real_tpu.clip.scorer import reduce_logits
-from dream2real_tpu.nerf.combined import BackgroundView, composite_one
+from dream2real_tpu.nerf.combined import composite_one
 from dream2real_tpu.nerf.model import NGPConfig
 from dream2real_tpu.nerf.render import RenderSettings, render_image
 from dream2real_tpu.ops.se3 import convert_virtual_pose

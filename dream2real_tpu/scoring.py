@@ -14,8 +14,6 @@ round-trips through disk unless artifact saving is requested.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

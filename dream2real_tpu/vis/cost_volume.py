@@ -50,3 +50,55 @@ def export_cost_volume(pose_scores, sample_res, pose_batch, out_path: str, exp: 
     fig.colorbar(im, ax=ax)
     fig.savefig(out_path, dpi=110, bbox_inches="tight")
     plt.close(fig)
+
+
+def export_multiverse(
+    pose_scores, pose_batch, movable_points, movable_init_pose, out_path: str,
+    stride: int = 7, bground_points=None,
+):
+    """Ghost-overlay of candidate placements weighted by score.
+
+    Offline replacement for vis_multiverse (geometry_utils.py:209-249): every
+    `stride`-th scored pose draws the movable object's collision points (top
+    view), alpha = normalized score; the static scene is drawn in grey.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    scores = np.asarray(pose_scores, np.float64).copy()
+    nz = scores != 0
+    if not nz.any():
+        return
+    mn = scores[nz].min()
+    mx = scores[nz].max()
+    scores[nz] = (scores[nz] - mn) / max(mx - mn, 1e-12)
+
+    poses = np.asarray(pose_batch).reshape(-1, 4, 4)
+    pts = np.asarray(movable_points)
+    pts = pts[pts[:, 3] > 0, :3] if pts.shape[1] == 4 else pts
+    init_inv = np.linalg.inv(np.asarray(movable_init_pose).reshape(4, 4))
+
+    fig, ax = plt.subplots(figsize=(7, 7))
+    if bground_points is not None:
+        bp = np.asarray(bground_points)
+        bp = bp[bp[:, 3] > 0, :3] if bp.shape[1] == 4 else bp
+        ax.scatter(bp[:, 0], bp[:, 1], s=1, c="0.6", alpha=0.4, linewidths=0)
+    sub = pts[:: max(len(pts) // 200, 1)]
+    for i in range(0, len(poses), max(stride, 1)):
+        s = scores[i]
+        if s == 0:
+            continue
+        tf = poses[i] @ init_inv
+        moved = sub @ tf[:3, :3].T + tf[:3, 3]
+        ax.scatter(
+            moved[:, 0], moved[:, 1], s=2, c=[[0.55, 0.98, 0.55]],
+            alpha=float(0.05 + 0.9 * s), linewidths=0,
+        )
+    ax.set_aspect("equal")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    ax.set_title("multiverse: candidate placements (alpha = score)")
+    fig.savefig(out_path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
