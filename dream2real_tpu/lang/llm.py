@@ -20,6 +20,13 @@ import re
 import time
 from typing import Callable, Optional
 
+# The reference's exact prompt texts (lang/llm.py:58-126) live in
+# prompts.json: they are DATA — the LLM cache (lang/cache.json) is keyed by
+# the exact prompt string, so byte-parity is required for cache replay.
+_PROMPTS = json.load(
+    open(os.path.join(os.path.dirname(__file__), "prompts.json"))
+)
+
 
 def openai_backend(model: str = "gpt-4"):
     import openai
@@ -91,15 +98,15 @@ class LangModel:
         return completion
 
     # ------------------------------------------------------------------
-    # The four task prompts, verbatim from lang/llm.py:58-126.
+    # The four task prompts (texts in prompts.json, byte-par with lang/llm.py:58-126).
 
     def get_principal_noun(self, caption: str) -> str:
-        prompt = f'Suppose that you have an image caption describing a scene. What is the name of the most important object in this scene? Please answer only with one word, the name of the object. Caption: "{caption}"'
+        prompt = _PROMPTS["principal_noun"].format(caption=caption)
         response = self.submit_prompt(prompt)
         return response.lower().replace(".", "")
 
     def get_movable_obj_idx(self, user_instr: str, obj_captions: list[str]) -> int:
-        prompt = 'Suppose that you are a robot. There are some objects in the scene. The user gives you an instruction. Decide which one object the user wants the robot to move. Do not include any objects which should remain unmoved (e.g. containers). Below, a description is given for each of the objects. You must answer with only one number, the index of the object which should be moved.\n'
+        prompt = _PROMPTS["movable_obj"] + "\n"
         prompt += f'User instruction: "{user_instr}"\n'
         assert obj_captions[0] == "__background__"
         for i, caption in enumerate(obj_captions[1:]):  # Skip background
@@ -110,7 +117,7 @@ class LangModel:
     def get_relevant_obj_idxs(
         self, scene_caption: str, obj_captions: list[str], movable_obj_idx: int
     ):
-        prompt = 'Suppose that you are a robot. You are given a caption of a scene. Below, you are also given some object descriptions. For each object description, determine whether it is a distractor object. Return a separate line for each object containing Yes or No, where Yes means that it is a distractor. A distractor object is one which cannot possibly be one of the objects mentioned in the scene caption. Be careful that the object descriptions are based on low-quality images where the text is not easily identified, so ignore that part of the object descriptions. If the object description could plausibly describe an object in the scene, you must return No. Each line in the response should have the format: Object <number>: Yes/No. But if none of the objects in the scene are distractors, the final line should just be one word: "None".\n'
+        prompt = _PROMPTS["relevant_objs"] + "\n"
         prompt += f'Scene caption: "{scene_caption}"\n'
         assert obj_captions[0] == "__background__"
 
@@ -145,14 +152,14 @@ class LangModel:
         return relevant_idxs
 
     def aggregate_captions_for_obj(self, captions, silent: bool = True) -> str:
-        prompt = 'Suppose we have captured many images of an object across different views. For each view, we have asked a network to caption the image. Some captions may be wrong, and there may be some other objects in view accidentally (e.g. inside or on top of the main object) which you must ignore. Please aggregate the caption information from across views, and write a caption which best describes the main object being captured. If the object can be a couple of things, mention them both.\n'
+        prompt = _PROMPTS["aggregate_captions"] + "\n"
         prompt += "List of captions:\n"
         for caption in captions:
             prompt += f'"{caption}"\n'
         return self.submit_prompt(prompt, silent=silent)
 
     def parse_instr(self, user_instr: str) -> tuple[str, str]:
-        prompt = 'Suppose you are a robot. You are given an instruction from a user. First, you need to extract the goal caption from the prompt. This is a description of the desired state after the user instruction has been executed. E.g. if the instruction is "shove the X under Y", the goal caption would be "an X under a Y". Also, you should extract a normalising caption from the goal caption. This will list the objects mentioned in the goal caption but without any spatial relations. Your first returned line should be the goal caption (the line should begin with "Goal caption: "), and the second line should be the normalising caption (the line should begin with "Normalising caption: "). No quotation marks needed. E.g. if the goal caption is "an X under a Y", then the normalising caption would be "an X and a Y". If the goal caption is "big Xs in the style of something", then the normalising caption is just "big Xs". However, you should keep spatial relations if they refer to a table, because objects will always be above table level. E.g. if the goal caption is "Xs arranged in a grid on a plastic table", then the normalising caption would be "Xs on a plastic table".\n'
+        prompt = _PROMPTS["parse_instr"] + "\n"
         prompt += f'User instruction: "{user_instr}"\n'
         response = self.submit_prompt(prompt)
         goal_caption, norm_caption = response.split("\n")
