@@ -51,8 +51,9 @@ def main():
     from dream2real_tpu.parallel.imagine import make_imagine_and_score
     from dream2real_tpu.sampling import sample_poses_grid
 
-    dev = jax.devices()[0]
-    print(f"# device: {dev}", file=sys.stderr)
+    devices = jax.devices()
+    n_dev = len(devices)
+    print(f"# devices: {n_dev} x {devices[0]}", file=sys.stderr)
 
     # ---- Train the flagship field briefly on the synthetic tabletop (the
     # bench measures render+score throughput; field fidelity is irrelevant,
@@ -112,20 +113,35 @@ def main():
         tuple(np.asarray(b0.hi) + pad),
     )
     fg_crop = int(os.environ.get("D2R_BENCH_FG_CROP", "128"))
+    # Multi-chip: shard the pose batch over a 1-D data mesh (scores
+    # all-gather over ICI; renders never leave their device).
+    mesh = None
+    if n_dev > 1:
+        from dream2real_tpu.parallel.mesh import data_mesh
+
+        mesh = data_mesh(n_dev)
+        print(f"# pose batch sharded over {mesh}", file=sys.stderr)
     score_fn = make_imagine_and_score(
         ngp_cfg, clip_cfg, settings, dirs_cam, n_norm_captions=1,
         clip_batch=clip_batch,
-        obj_aabb=obj_aabb, fg_crop=fg_crop, intrinsics=K,
+        obj_aabb=obj_aabb, fg_crop=fg_crop, intrinsics=K, mesh=mesh,
     )
     T_WO = jnp.eye(4).at[:3, 3].set(jnp.asarray(list(scene.centre)))
 
+    # Per-device pose count must divide by clip_batch; round the dispatch
+    # and total sizes up to a multiple of n_dev * clip_batch.
+    quantum = n_dev * clip_batch
     n_poses = int(os.environ.get("D2R_BENCH_POSES", "512"))
-    grid = sample_poses_grid(scene.centre, [16, n_poses // 16, 1, 1, 1, 1], scene_type=3)
-    poses = jnp.asarray(np.asarray(grid).reshape(-1, 4, 4)[:n_poses])
+    n_poses = max(quantum, n_poses // quantum * quantum)
+    grid = sample_poses_grid(scene.centre, [16, max(n_poses // 16, 1), 1, 1, 1, 1], scene_type=3)
+    grid = np.asarray(grid).reshape(-1, 4, 4)
+    reps = int(np.ceil(n_poses / len(grid)))
+    poses = jnp.asarray(np.tile(grid, (reps, 1, 1))[:n_poses])
 
     # Warmup / compile. NOTE: single dispatches are kept to ~dispatch_poses
     # poses — the TPU runtime kills launches running longer than ~1-2 min.
     dispatch_poses = int(os.environ.get("D2R_BENCH_DISPATCH", "256"))
+    dispatch_poses = max(quantum, dispatch_poses // quantum * quantum)
     warm = score_fn(fg_params, clip_params, T_WO, T_WC, bg, txt_emb, poses[:dispatch_poses])
     _ = float(np.asarray(warm).sum())
     t0 = time.time()
@@ -139,8 +155,9 @@ def main():
     dt = time.time() - t0
     poses_per_s = n_poses / dt
     print(
-        f"# {n_poses} poses rendered+scored in {dt:.2f}s; total bench "
-        f"wall-clock {time.time()-t_start:.0f}s",
+        f"# {n_poses} poses rendered+scored in {dt:.2f}s"
+        + (f" on {n_dev} chips ({poses_per_s / n_dev:.1f} poses/s/chip)" if n_dev > 1 else "")
+        + f"; total bench wall-clock {time.time()-t_start:.0f}s",
         file=sys.stderr,
     )
 

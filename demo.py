@@ -50,6 +50,8 @@ if __name__ == "__main__":
     movable_best_pose = imagination.dream_best_pose(task_model)
     print("Predicted pose for movable object:")
     print(movable_best_pose)
+    print("--- stage timings ---")
+    print(imagination.stage_timer.report())
 
     with open("result.txt", "w") as f:
         f.write(f"user_instr: {args.user_instr}\n")

@@ -222,6 +222,15 @@ def write_dataset(
     }
     with open(os.path.join(out_dir, "synth_meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
+
+    # GT captions cache: the captioner is off for synthetic scenes
+    # (no BLIP-2), and these exact captions key the packaged LLM cache
+    # (dream2real_tpu/lang/cache.json) so the hermetic demo runs without any
+    # external model.
+    with open(os.path.join(out_dir, "captions.json"), "w") as f:
+        json.dump(
+            ["__background__", "a red box", "a green box", "a blue box"], f
+        )
     return meta
 
 

@@ -34,6 +34,7 @@ from dream2real_tpu.reconstruction import build_vis_model
 from dream2real_tpu.scene_model import ObjectModel, SceneModel, TaskModel
 from dream2real_tpu.scoring import optimise_pose_grid
 from dream2real_tpu.ops.cameras import clip_view_intrinsics_like
+from dream2real_tpu.utils.profiling import StageTimer, trace
 
 _CURR_DIR = pathlib.Path(__file__).parent.absolute()
 
@@ -49,6 +50,8 @@ class ImaginationEngine:
         caption_backend=None,
         clip_loader=None,
         ngp_overrides: Optional[dict] = None,
+        mask_generator=None,
+        propagator=None,
     ):
         self.embodied = embodied
         self.cfg = cfg
@@ -79,7 +82,13 @@ class ImaginationEngine:
 
         self.depths_gt = None
         self.scene_model = None
-        self.segmentor = Segmentor()
+        # Per-stage wall-clock observability (the reference's FAQ-level "how
+        # long does each stage take", README.md:124-126); report via
+        # `stage_timer.report()` — demo.py prints it after the run.
+        self.stage_timer = StageTimer()
+        self.segmentor = Segmentor(
+            mask_generator=mask_generator, propagator=propagator
+        )
         self.caption = cfg.caption
         if cfg.caption:
             self.captioner = Captioner(
@@ -126,18 +135,19 @@ class ImaginationEngine:
         )
 
         video_path = os.path.join(self.data_dir, "seg_images")
-        if os.path.exists(video_path):
-            masks = self.segmentor.segment_associate(
-                video_path, depths, dataloader.T_WC_data, intrinsics,
-                self.data_dir, self.out_scene_bound_masks, self.scene_centre,
-                show=self.cfg.visseg, use_cache=self.use_cache_segs,
-            )
-        else:
-            masks = self.segmentor.segment(
-                np.asarray(rgbs), depths, self.data_dir,
-                show=self.cfg.visseg, use_cache=self.use_cache_segs,
-            )
-        self.segmentor.free()
+        with self.stage_timer.stage("segmentation"):
+            if os.path.exists(video_path):
+                masks = self.segmentor.segment_associate(
+                    video_path, depths, dataloader.T_WC_data, intrinsics,
+                    self.data_dir, self.out_scene_bound_masks, self.scene_centre,
+                    show=self.cfg.visseg, use_cache=self.use_cache_segs,
+                )
+            else:
+                masks = self.segmentor.segment(
+                    np.asarray(rgbs), depths, self.data_dir,
+                    show=self.cfg.visseg, use_cache=self.use_cache_segs,
+                )
+            self.segmentor.free()
         masks = np.asarray(masks)
 
         # mask idx 0 = bground, 255 = outside scene bounds (dream2real.py:139).
@@ -149,14 +159,19 @@ class ImaginationEngine:
             opt_cam_poses = np.load(os.path.join(self.data_dir, "opt_cam_poses.npy"))
             self._full_model = None
         else:
-            self._full_model, opt_cam_poses = build_vis_model(
-                self.cfg,
-                dynamic_time_extension=False,
-                render_distract=self.render_distractors,
-                depths=np.asarray(depths),
-                field_overrides=self.ngp_overrides.get("field"),
-                train_overrides=self.ngp_overrides.get("train"),
-            )
+            with self.stage_timer.stage("full_scene_nerf"):
+                self._full_model, opt_cam_poses = build_vis_model(
+                    self.cfg,
+                    # The reference ALSO opts the full-scene model out of the
+                    # convergence governor: dream2real.py:150 passes
+                    # dynamic_time_extension=False (extension only applies to
+                    # the fg/bg task NeRFs via get_vis_ngps' default True).
+                    dynamic_time_extension=False,
+                    render_distract=self.render_distractors,
+                    depths=np.asarray(depths),
+                    field_overrides=self.ngp_overrides.get("field"),
+                    train_overrides=self.ngp_overrides.get("train"),
+                )
             if opt_cam_poses is None:
                 opt_cam_poses = np.asarray(raw_cam_poses)
         opt_cam_poses = [np.asarray(p, np.float32) for p in opt_cam_poses]
@@ -167,21 +182,24 @@ class ImaginationEngine:
         else:
             from dream2real_tpu.physics.models import get_phys_models
 
-            phys_models, init_poses = get_phys_models(
-                depths, opt_cam_poses, intrinsics, masks, num_objs,
-                self.scene_phys_bounds,
-                save_dir=os.path.join(self.data_dir, "phys_mods/"),
-                vis=False, use_cache=self.use_cache_phys,
-                use_phys_tsdf=self.use_phys_tsdf,
-            )
+            with self.stage_timer.stage("physics_models"):
+                phys_models, init_poses = get_phys_models(
+                    depths, opt_cam_poses, intrinsics, masks, num_objs,
+                    self.scene_phys_bounds,
+                    save_dir=os.path.join(self.data_dir, "phys_mods/"),
+                    vis=False, use_cache=self.use_cache_phys,
+                    use_phys_tsdf=self.use_phys_tsdf,
+                )
 
         if self.caption:
-            captions, thumbnails = self.captioner.caption_objs(
-                num_objs, rgbs, masks, self.lang_model, self.out_scene_bound_masks,
-                topdown=self.topdown, multi_view=self.multi_view_captions,
-                single_view_idx=self.single_view_idx,
-            )
-            self.captioner.free()
+            with self.stage_timer.stage("captioning"):
+                captions, thumbnails = self.captioner.caption_objs(
+                    num_objs, rgbs, masks, self.lang_model,
+                    self.out_scene_bound_masks,
+                    topdown=self.topdown, multi_view=self.multi_view_captions,
+                    single_view_idx=self.single_view_idx,
+                )
+                self.captioner.free()
         else:
             cache_path = os.path.join(self.data_dir, "captions.json")
             if os.path.exists(cache_path):
@@ -232,13 +250,16 @@ class ImaginationEngine:
             raise RuntimeError(
                 "Must call build_scene_model() first before receiving user instructions"
             )
-        if goal_caption is None:
-            goal_caption, norm_caption = self.lang_model.parse_instr(user_instr)
-            print("Goal caption:", goal_caption)
-            print("Normalised caption:", norm_caption)
-            norm_captions = [norm_caption]
-        movable_obj, movable_obj_idx = self.determine_movable_obj(user_instr)
-        relevant_objs = self.determine_relevant_objs(goal_caption, movable_obj_idx)
+        with self.stage_timer.stage("llm_interpret"):
+            if goal_caption is None:
+                goal_caption, norm_caption = self.lang_model.parse_instr(user_instr)
+                print("Goal caption:", goal_caption)
+                print("Normalised caption:", norm_caption)
+                norm_captions = [norm_caption]
+            movable_obj, movable_obj_idx = self.determine_movable_obj(user_instr)
+            relevant_objs = self.determine_relevant_objs(
+                goal_caption, movable_obj_idx
+            )
 
         if self.lazy_phys_mods:
             (
@@ -253,28 +274,29 @@ class ImaginationEngine:
             )
 
         depths_np = np.asarray(self.scene_model.depths)
-        movable_obj.vis_model = TaskModel.create_movable_vis_model(
-            self.scene_model, movable_obj, self.out_scene_bound_masks,
-            os.path.join(self.data_dir, "movable_vis_mod/"),
-            use_vis_pcds=self.use_vis_pcds, pcds_type=self.pcds_type,
-            single_view_idx=self.single_view_idx, use_cache=self.use_cache_vis,
-            data_dir=self.data_dir, depths=depths_np,
-            field_overrides=self.ngp_overrides.get("field"),
-            train_overrides=self.ngp_overrides.get("train"),
-        )
+        with self.stage_timer.stage("task_nerfs"):
+            movable_obj.vis_model = TaskModel.create_movable_vis_model(
+                self.scene_model, movable_obj, self.out_scene_bound_masks,
+                os.path.join(self.data_dir, "movable_vis_mod/"),
+                use_vis_pcds=self.use_vis_pcds, pcds_type=self.pcds_type,
+                single_view_idx=self.single_view_idx, use_cache=self.use_cache_vis,
+                data_dir=self.data_dir, depths=depths_np,
+                field_overrides=self.ngp_overrides.get("field"),
+                train_overrides=self.ngp_overrides.get("train"),
+            )
 
-        task_bground_obj, task_bground_masks = TaskModel.create_task_bground_obj(
-            self.scene_model, movable_obj, relevant_objs,
-            self.out_scene_bound_masks,
-            os.path.join(self.data_dir, "task_bground_vis_mod/"),
-            use_vis_pcds=self.use_vis_pcds, pcds_type=self.pcds_type,
-            single_view_idx=self.single_view_idx,
-            render_distractors=self.render_distractors,
-            use_cache=self.use_cache_vis, data_dir=self.data_dir,
-            depths=depths_np,
-            field_overrides=self.ngp_overrides.get("field"),
-            train_overrides=self.ngp_overrides.get("train"),
-        )
+            task_bground_obj, task_bground_masks = TaskModel.create_task_bground_obj(
+                self.scene_model, movable_obj, relevant_objs,
+                self.out_scene_bound_masks,
+                os.path.join(self.data_dir, "task_bground_vis_mod/"),
+                use_vis_pcds=self.use_vis_pcds, pcds_type=self.pcds_type,
+                single_view_idx=self.single_view_idx,
+                render_distractors=self.render_distractors,
+                use_cache=self.use_cache_vis, data_dir=self.data_dir,
+                depths=depths_np,
+                field_overrides=self.ngp_overrides.get("field"),
+                train_overrides=self.ngp_overrides.get("train"),
+            )
 
         if self.lazy_phys_mods:
             movable_obj.phys_model = movable_phys
@@ -389,25 +411,26 @@ class ImaginationEngine:
             clip_scorer, tokenizer = (None, None)
             if not self.physics_only:
                 clip_scorer, tokenizer = self._get_clip()
-            best_pose, pose_batch, pose_scores = optimise_pose_grid(
-                self.renderer,
-                self.depths_gt,
-                self.render_cam_pose_idx,
-                task_model,
-                self.data_dir,
-                sample_res=self.sample_res,
-                phys_check=phys_check,
-                use_templates=False,
-                scene_type=self.scene_type,
-                use_vis_pcds=self.use_vis_pcds,
-                use_cache_renders=self.use_cache_renders,
-                smoothing=self.spatial_smoothing,
-                physics_only=self.physics_only,
-                clip_scorer=clip_scorer,
-                tokenizer=tokenizer,
-                bounds_override=self.sample_bounds,
-                save_renders=getattr(self.cfg, "save_renders", True),
-            )
+            with self.stage_timer.stage("imagine_and_score"), trace("imagine-loop"):
+                best_pose, pose_batch, pose_scores = optimise_pose_grid(
+                    self.renderer,
+                    self.depths_gt,
+                    self.render_cam_pose_idx,
+                    task_model,
+                    self.data_dir,
+                    sample_res=self.sample_res,
+                    phys_check=phys_check,
+                    use_templates=False,
+                    scene_type=self.scene_type,
+                    use_vis_pcds=self.use_vis_pcds,
+                    use_cache_renders=self.use_cache_renders,
+                    smoothing=self.spatial_smoothing,
+                    physics_only=self.physics_only,
+                    clip_scorer=clip_scorer,
+                    tokenizer=tokenizer,
+                    bounds_override=self.sample_bounds,
+                    save_renders=getattr(self.cfg, "save_renders", True),
+                )
             np.savetxt(os.path.join(self.data_dir, "goal_pose.txt"), best_pose)
             np.savetxt(os.path.join(self.data_dir, "pose_batch.txt"), pose_batch)
             np.savetxt(os.path.join(self.data_dir, "pose_scores.txt"), pose_scores)

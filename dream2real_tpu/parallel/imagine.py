@@ -47,12 +47,17 @@ def make_imagine_and_score(
     crop_settings: Optional[RenderSettings] = None,
     intrinsics=None,
     render_batch: int = 4,
+    return_renders: bool = False,
 ):
     """Build score_fn(fg_params, clip_params, T_WO_1, T_WC_1, bg, txt_emb,
     poses (K, 4, 4)) -> (K,) scores.
 
     With a mesh, poses shard over DATA_AXIS (K must divide by mesh size);
     without, it is the single-chip fused program.
+
+    return_renders=True additionally returns the (K, res, res, 3) u8
+    composites (pre-rot90, i.e. the cb_render/ artifact orientation) so the
+    caller can stream them to disk without leaving the fused path.
     """
 
     res = dirs_cam.shape[0]
@@ -106,15 +111,21 @@ def make_imagine_and_score(
                 return c, imgs
 
             _, imgs = jax.lax.scan(r_body, 0, sub)
-            imgs = imgs.reshape(clip_batch, *imgs.shape[2:])  # (B, res, res, 3)
-            imgs = jnp.rot90(imgs, k=1, axes=(1, 2))  # clip_scoring.py:145
+            renders_u8 = imgs.reshape(clip_batch, *imgs.shape[2:])  # (B, res, res, 3)
+            imgs = jnp.rot90(renders_u8, k=1, axes=(1, 2))  # clip_scoring.py:145
             pixels = preprocess_images(imgs, clip_cfg)
             emb = encode_image(clip_params, clip_cfg, pixels)
             lg = logits_per_image(clip_params, emb, txt_emb)
-            return carry, reduce_logits(lg, n_norm_captions, use_templates)
+            scores = reduce_logits(lg, n_norm_captions, use_templates)
+            if return_renders:
+                return carry, (scores, renders_u8)
+            return carry, scores
 
-        _, scores = jax.lax.scan(group_body, 0, groups)
-        return scores.reshape(-1)
+        _, out = jax.lax.scan(group_body, 0, groups)
+        if return_renders:
+            scores, renders = out
+            return scores.reshape(-1), renders.reshape(-1, *renders.shape[2:])
+        return out.reshape(-1)
 
     if mesh is None:
         return jax.jit(score_local)
@@ -123,7 +134,7 @@ def make_imagine_and_score(
         score_local,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)) if return_renders else P(DATA_AXIS),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -55,18 +55,219 @@ def load_synth_masks(data_dir: str, n_frames: int) -> np.ndarray:
     return np.stack(masks)
 
 
+# SamAutomaticMaskGenerator parameters (sam_seg.py:24-31 verbatim — these are
+# the reference's tuned table-top values, not SAM defaults).
+SAM_GENERATOR_PARAMS = dict(
+    points_per_side=48,
+    pred_iou_thresh=0.95,
+    stability_score_thresh=0.90,
+    crop_n_layers=2,
+    crop_n_points_downscale_factor=2,
+    crop_nms_thresh=0.95,
+    min_mask_region_area=120,
+)
+
+# XMem inference configuration (segmentation/XMem.yaml verbatim, minus paths).
+XMEM_DEFAULT_CONFIG = dict(
+    buffer_size=100,
+    max_mid_term_frames=10,
+    min_mid_term_frames=5,
+    max_long_term_elements=10000,
+    num_prototypes=128,
+    top_k=30,
+    mem_every=10,
+    deep_update_every=-1,
+    enable_long_term=True,
+    enable_long_term_count_usage=True,
+    num_objects=10,
+    size=480,
+    first_mask_loaded=True,
+)
+
+
+class SamMaskGenerator:
+    """Live SAM first-frame backend (sam_seg.py:17-32).
+
+    Gated external model: requires the `segment_anything` package and a
+    checkpoint (``D2R_SAM_PATH`` or explicit path; the reference hardcodes
+    models/sam_vit_h_4b8939.pth / sam_vit_b_01ec64.pth and picks by GPU RAM,
+    sam_seg.py:19-23 — here the variant is read off the checkpoint name).
+    Callable: uint8 HWC RGB image -> list of boolean instance masks.
+    """
+
+    def __init__(self, checkpoint=None, model_type=None, device="cpu", **overrides):
+        try:
+            from segment_anything import SamAutomaticMaskGenerator, sam_model_registry
+        except ImportError as e:
+            raise RuntimeError(
+                "segment_anything is not installed; live SAM segmentation is "
+                "unavailable. Run with use_cache_segs, provide masks/, or "
+                "inject a mask_generator backend."
+            ) from e
+        checkpoint = checkpoint or os.environ.get("D2R_SAM_PATH")
+        if not checkpoint or not os.path.isfile(checkpoint):
+            raise FileNotFoundError(
+                "SAM checkpoint not found; set D2R_SAM_PATH to e.g. "
+                "models/sam_vit_h_4b8939.pth"
+            )
+        if model_type is None:
+            name = os.path.basename(checkpoint)
+            model_type = next(
+                (t for t in ("vit_h", "vit_l", "vit_b") if t in name), "vit_h"
+            )
+        self._sam = sam_model_registry[model_type](checkpoint=checkpoint).to(device)
+        params = dict(SAM_GENERATOR_PARAMS, **overrides)
+        self._generator = SamAutomaticMaskGenerator(model=self._sam, **params)
+
+    def __call__(self, img: np.ndarray) -> list[np.ndarray]:
+        anns = self._generator.generate(np.ascontiguousarray(img, np.uint8))
+        return [np.asarray(a["segmentation"], bool) for a in anns]
+
+    def free(self):
+        import gc
+
+        del self._generator, self._sam
+        gc.collect()
+
+
+class XMemPropagator:
+    """Live XMem video-propagation backend (XMem_infer.py:27-95).
+
+    Gated external model: requires an XMem checkout on sys.path (or
+    ``D2R_XMEM_REPO``) and the checkpoint (``D2R_XMEM_PATH``). Protocol:
+    ``start(rgb, id_mask) -> id_mask`` seeds frame 0, ``step(rgb) -> id_mask``
+    propagates to each subsequent frame.
+    """
+
+    def __init__(self, repo=None, checkpoint=None, device="cpu", config=None):
+        import sys
+
+        repo = repo or os.environ.get("D2R_XMEM_REPO")
+        checkpoint = checkpoint or os.environ.get("D2R_XMEM_PATH")
+        if repo and os.path.isdir(repo) and repo not in sys.path:
+            sys.path.insert(0, repo)
+        try:
+            import torch
+            from inference.data.mask_mapper import MaskMapper
+            from inference.inference_core import InferenceCore
+            from model.network import XMem
+        except ImportError as e:
+            raise RuntimeError(
+                "XMem is not importable; live video propagation is "
+                "unavailable. Set D2R_XMEM_REPO to an XMem checkout, run "
+                "with use_cache_segs, or inject a propagator backend."
+            ) from e
+        if not checkpoint or not os.path.isfile(checkpoint):
+            raise FileNotFoundError(
+                "XMem checkpoint not found; set D2R_XMEM_PATH to XMem.pth"
+            )
+        self._torch = torch
+        cfg = dict(XMEM_DEFAULT_CONFIG, **(config or {}))
+        torch.autograd.set_grad_enabled(False)
+        network = XMem(cfg, checkpoint, map_location=device).to(device).eval()
+        self._core = InferenceCore(network, config=cfg)
+        self._core.set_all_labels(list(range(1, cfg["num_objects"] + 1)))
+        self._mapper = MaskMapper()
+        self._size = cfg["size"]
+        self._device = device
+
+    def _resize(self, img, is_mask=False):
+        # Shorter side -> self._size (XMem_infer.py:53-59).
+        h, w = img.shape[:2]
+        new_w = w * self._size // min(w, h)
+        new_h = h * self._size // min(w, h)
+        if (new_w, new_h) != (w, h):
+            interp = cv2.INTER_NEAREST if is_mask else cv2.INTER_AREA
+            img = cv2.resize(img, dsize=(new_w, new_h), interpolation=interp)
+        return img
+
+    def _infer(self, rgb, id_mask):
+        """One InferenceCore step; mirrors XMem_infer.py:61-95."""
+        torch = self._torch
+        shape = rgb.shape[:2]
+        if id_mask is not None:
+            msk = self._resize(np.asarray(id_mask, np.uint8), is_mask=True)
+            msk, labels = self._mapper.convert_mask(msk)
+            msk = torch.Tensor(msk).to(self._device)
+            self._core.set_all_labels(list(self._mapper.remappings.values()))
+        else:
+            msk, labels = None, None
+        small = self._resize(np.asarray(rgb, np.uint8))
+        # image_to_torch equivalent: HWC uint8 -> CHW float in [0, 1].
+        rgb_t = (
+            torch.from_numpy(np.ascontiguousarray(small))
+            .float()
+            .permute(2, 0, 1)
+            .to(self._device)
+            / 255.0
+        )
+        prob = self._core.step(rgb_t, msk, labels, end=False)
+        prob = torch.nn.functional.interpolate(
+            prob.unsqueeze(1), shape, mode="bilinear", align_corners=False
+        )[:, 0]
+        return np.asarray(torch.argmax(prob, dim=0).cpu(), np.uint8)
+
+    def start(self, rgb, id_mask):
+        return self._infer(rgb, id_mask)
+
+    def step(self, rgb):
+        return self._infer(rgb, None)
+
+    def free(self):
+        import gc
+
+        self._core.network.cpu()
+        del self._core, self._mapper
+        gc.collect()
+
+
+def _label_vis(mask: np.ndarray) -> np.ndarray:
+    """Instance-id image -> BGR label visualisation (imgviz.label2rgb stand-in
+    for the XMem_vis_masks/ artifacts, XMem_infer.py:133-142)."""
+    from dream2real_tpu.vis.utils import pastel_colors
+
+    vis = np.zeros((*mask.shape, 3), np.uint8)
+    for idx in np.unique(mask):
+        if idx == 0:
+            continue
+        vis[mask == idx] = pastel_colors[int(idx) % len(pastel_colors)]
+    return vis[..., ::-1]
+
+
 class Segmentor:
     """Video instance segmentation orchestrator.
 
-    Resolution order in `segment`: cached XMem masks -> synthetic GT masks ->
-    live SAM+XMem (requires segment_anything + XMem installs, like the
-    reference's submodules) -> error.
+    Resolution order in `segment`/`segment_associate`: cached XMem masks ->
+    synthetic GT masks -> live backends. Backends are pluggable (like
+    `llm_backend`/`caption_backend`): ``mask_generator`` is any callable
+    ``rgb -> list of boolean masks`` (default: gated live SAM) and
+    ``propagator`` is any object with ``start(rgb, id_mask)`` /
+    ``step(rgb)`` (default: gated live XMem).
     """
 
-    def __init__(self, device: str = "cpu"):
+    def __init__(self, device: str = "cpu", mask_generator=None, propagator=None):
         self.device = device
+        self.mask_generator = mask_generator
+        self.propagator = propagator
+
+    def _resolve_backends(self, need_propagator: bool):
+        if self.mask_generator is None:
+            self.mask_generator = SamMaskGenerator(device=self.device)
+        if need_propagator and self.propagator is None:
+            self.propagator = XMemPropagator(device=self.device)
+
+    def _save_frame(self, out_dir, index, mask):
+        """XMem_masks/ + XMem_vis_masks/ cache artifacts (XMem_infer.py:138-147)."""
+        mask_dir = os.path.join(out_dir, "XMem_masks")
+        vis_dir = os.path.join(out_dir, "XMem_vis_masks")
+        os.makedirs(mask_dir, exist_ok=True)
+        os.makedirs(vis_dir, exist_ok=True)
+        cv2.imwrite(os.path.join(mask_dir, f"rgb_{index:04d}.png"), mask.astype(np.uint8))
+        cv2.imwrite(os.path.join(vis_dir, f"rgb_{index:04d}.png"), _label_vis(mask))
 
     def segment(self, rgbs, depths, out_dir, show: bool = False, use_cache: bool = False):
+        """Keyframe-only path: SAM on frame 0, propagate across keyframes
+        (XMem_infer.py:97-149)."""
         n = len(rgbs)
         if use_cache:
             return load_cached_masks(out_dir, n)
@@ -74,16 +275,37 @@ class Segmentor:
             masks = load_synth_masks(out_dir, n)
             save_masks(out_dir, masks)  # also populate the standard cache
             return masks
-        return self._live_segment(rgbs, depths, out_dir)
 
-    # segment_associate keeps the reference API (XMem_infer.py:151-246);
-    # dense-video propagation needs the XMem network, so without it we fall
-    # back to per-keyframe handling via `segment`.
+        rgbs = np.asarray(rgbs)
+        self._resolve_backends(need_propagator=n > 1)
+        print("Segmenting frames...")
+        sam_masks = postprocess_sam_masks(
+            self.mask_generator(rgbs[0]), rgbs[0].shape[:2]
+        )
+        scene_mask = integrate_masks(sam_masks)
+        out = []
+        for i in range(n):
+            if i == 0:
+                mask = (
+                    self.propagator.start(rgbs[0], scene_mask)
+                    if n > 1
+                    else scene_mask
+                )
+            else:
+                mask = self.propagator.step(rgbs[i])
+            out.append(mask.astype(np.uint8))
+            if out_dir is not None:
+                self._save_frame(out_dir, i, out[-1])
+        return np.stack(out)
+
     def segment_associate(
         self, video_path, depths, T_WC, intrinsics, out_dir,
         out_scene_bound_masks=None, scene_centre=None,
         show=False, use_cache=False, debug=False,
     ):
+        """Dense-video path (XMem_infer.py:151-244): SAM on the first
+        associated video frame (rotated upright, scene-bounded), propagate
+        through every video frame, refine + save at each keyframe."""
         n = len(depths)
         if use_cache:
             return load_cached_masks(out_dir, n)
@@ -91,26 +313,65 @@ class Segmentor:
             masks = load_synth_masks(out_dir, n)
             save_masks(out_dir, masks)
             return masks
-        raise RuntimeError(
-            "Live XMem video segmentation requires the XMem checkpoint; "
-            "provide cached XMem_masks/ or synthetic masks/."
-        )
 
-    def _live_segment(self, rgbs, depths, out_dir):
-        try:
-            from segment_anything import SamAutomaticMaskGenerator, sam_model_registry  # noqa: F401
-        except ImportError as e:
-            raise RuntimeError(
-                "segment_anything is not installed and no cached masks exist. "
-                "Run with use_cache_segs or provide masks/."
-            ) from e
-        raise NotImplementedError(
-            "Live SAM segmentation path requires SAM checkpoints (models/"
-            "sam_vit_h_4b8939.pth); not available in this environment."
-        )
+        from dream2real_tpu.data.associate import associate
+
+        assoc = associate(out_dir)
+        files = sorted(os.listdir(video_path))
+        self._resolve_backends(need_propagator=True)
+        if debug:
+            video_dir = os.path.join(out_dir, "XMem_video_masks")
+            video_vis_dir = os.path.join(out_dir, "XMem_video_vis_masks")
+            os.makedirs(video_dir, exist_ok=True)
+            os.makedirs(video_vis_dir, exist_ok=True)
+
+        refined_masks = []
+        print("Segmenting frames...")
+        for i, fname in enumerate(files):
+            if i < assoc[0]:
+                continue
+            rgb = cv2.imread(os.path.join(video_path, fname)).astype(np.uint8)
+            rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB)
+            if i == assoc[0]:
+                # Rotate upright so the scan is in-distribution for SAM
+                # (XMem_infer.py:199-207).
+                flipped = np.rot90(rgb, 1)
+                sb = None
+                if out_scene_bound_masks is not None:
+                    sb = np.rot90(~np.asarray(out_scene_bound_masks[0]).astype(bool))
+                sam_masks = postprocess_sam_masks(
+                    self.mask_generator(flipped), flipped.shape[:2],
+                    scene_bound_mask=sb,
+                )
+                scene_mask = np.ascontiguousarray(
+                    np.rot90(integrate_masks(sam_masks), 3)
+                )
+                mask = self.propagator.start(rgb, scene_mask)
+            else:
+                mask = self.propagator.step(rgb)
+
+            if i in assoc:
+                index = assoc.index(i)
+                pruned = duplicate_prune(
+                    mask, np.asarray(depths[index]), np.asarray(T_WC[index]),
+                    intrinsics, scene_centre,
+                )
+                if out_scene_bound_masks is not None:
+                    out_sb = np.asarray(out_scene_bound_masks[index])
+                    pruned = np.where(out_sb == 255, 255, pruned).astype(np.uint8)
+                refined_masks.append(pruned)
+                self._save_frame(out_dir, index, pruned)
+            if debug:
+                cv2.imwrite(os.path.join(video_dir, f"rgb_{i}.png"), mask)
+                cv2.imwrite(os.path.join(video_vis_dir, f"rgb_{i}.png"), _label_vis(mask))
+        return refined_masks
 
     def free(self):
-        pass
+        for backend in (self.mask_generator, self.propagator):
+            if backend is not None and hasattr(backend, "free"):
+                backend.free()
+        self.mask_generator = None
+        self.propagator = None
 
 
 # ---------------------------------------------------------------------------

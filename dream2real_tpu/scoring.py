@@ -23,12 +23,17 @@ from dream2real_tpu.smoothing import spatially_smooth_heatmap
 
 def _fused_score(
     renderer, clip_scorer, tokenizer, task_model, valid_poses, render_poses,
-    depths_gt, movable_masks, T_WO_1, use_templates,
+    depths_gt, movable_masks, T_WO_1, use_templates, save_renders=False,
 ):
     """On-device render->composite->CLIP scoring (no per-render D2H).
 
     Dispatches in slabs (the TPU runtime kills launches over ~1-2 min) padded
     to the CLIP batch size; padding scores are discarded.
+
+    save_renders=True streams each slab's u8 composites to
+    renderer.out_render_path (cb_render/ artifact parity) from a writer
+    thread: the D2H fetch + PNG encode of slab s overlaps slab s+1's device
+    compute, so artifact saving no longer forces the slow unfused path.
     """
     from dream2real_tpu.clip.scorer import build_captions
     from dream2real_tpu.parallel.imagine import make_imagine_and_score
@@ -39,12 +44,13 @@ def _fused_score(
     txt = clip_scorer.text_embeddings(np.asarray(tokenizer(captions)))
     n_norm = 0 if task_model.norm_captions is None else len(task_model.norm_captions)
     cb = min(32, clip_scorer.batch_size)
+    save_dir = renderer.out_render_path if save_renders else None
     score_fn = make_imagine_and_score(
         renderer.fg_cfg, clip_scorer.cfg, renderer.settings, renderer.dirs_cam,
         n_norm_captions=n_norm, use_templates=use_templates, clip_batch=cb,
         obj_aabb=renderer.obj_aabb, fg_crop=renderer.fg_crop,
         crop_settings=renderer.crop_settings, intrinsics=renderer.intrinsics,
-        row_chunk=renderer.row_chunk,
+        row_chunk=renderer.row_chunk, return_renders=save_dir is not None,
     )
     bg = renderer.render_background(
         jnp.asarray(render_poses[0]),
@@ -57,17 +63,48 @@ def _fused_score(
     k = len(poses)
     slab = max(cb, 256 // cb * cb)
     out = np.empty(k, np.float32)
+
+    writer = futures = None
+    if save_dir is not None:
+        import shutil
+        from concurrent.futures import ThreadPoolExecutor
+
+        if os.path.exists(save_dir):
+            shutil.rmtree(save_dir)
+        os.makedirs(save_dir)
+
+        def _write(imgs_dev, start, count):
+            from PIL import Image
+
+            arr = np.asarray(imgs_dev)[:count]
+            for j in range(count):
+                Image.fromarray(arr[j]).save(
+                    os.path.join(save_dir, f"cb_rgb_{start + j:04d}.png")
+                )
+
+        writer = ThreadPoolExecutor(max_workers=1)
+        futures = []
+
     for s in range(0, k, slab):
         chunk = poses[s : s + slab]
         n = len(chunk)
         pad = (-n) % cb
         if pad:
             chunk = np.concatenate([chunk, np.tile(np.eye(4, dtype=np.float32)[None], (pad, 1, 1))])
-        scores = score_fn(
+        result = score_fn(
             renderer.fg_params, clip_scorer.params, T_WO, T_WC, bg,
             txt, jnp.asarray(chunk),
         )
+        if save_dir is not None:
+            scores, imgs = result
+            futures.append(writer.submit(_write, imgs, s, n))
+        else:
+            scores = result
         out[s : s + n] = np.asarray(scores)[:n]
+    if writer is not None:
+        for f in futures:
+            f.result()  # surface writer-thread exceptions
+        writer.shutdown()
     return out
 
 
@@ -156,17 +193,22 @@ def optimise_pose_grid(
         movable_masks = np.asarray(task_model.movable_masks)[list(render_cam_pose_idx)]
         T_WO_1 = np.asarray(task_model.movable_obj.pose)
 
+        # Fused path for every single-view NeRF run (all reference demo
+        # configs); save_renders streams cb_render/ from a writer thread
+        # instead of dropping to the slow D2H path. Requires a real
+        # ClipScorer (fused program embeds the image tower).
         fused = (
-            not save_renders
-            and not use_vis_pcds
+            not use_vis_pcds
             and len(render_cam_pose_idx) == 1
             and hasattr(renderer, "render_background")
+            and hasattr(clip_scorer, "params")
         )
         if fused:
             print(f"Fused imagine-and-score over {len(valid_poses)} poses...")
             scores_valid = _fused_score(
                 renderer, clip_scorer, tokenizer, task_model, valid_poses,
                 render_poses, depths_gt, movable_masks, T_WO_1, use_templates,
+                save_renders=save_renders,
             )
             renders = None
         else:

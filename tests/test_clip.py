@@ -97,6 +97,61 @@ def test_clip_matches_hf_transformers(rng):
     np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
 
 
+def test_clip_matches_hf_at_production_widths(rng):
+    """Converter parity at the REAL ViT-L/14-336 widths (hidden 1024/768,
+    16/12 heads, projection 768, 336px/14px patches, vocab 49408) with the
+    layer count cut to 2 so it runs on the CPU host. Validates that
+    `load_clip` on an actual openai/clip-vit-large-patch14-336 checkpoint
+    (clip_scoring.py:150-151) would reproduce HF logits — the only scale
+    difference left is num_hidden_layers."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    hf_cfg = transformers.CLIPConfig(
+        projection_dim=768,
+        text_config_dict=dict(
+            hidden_size=768, intermediate_size=3072, num_hidden_layers=2,
+            num_attention_heads=12, max_position_embeddings=77,
+            vocab_size=49408, hidden_act="quick_gelu", eos_token_id=49407,
+        ),
+        vision_config_dict=dict(
+            hidden_size=1024, intermediate_size=4096, num_hidden_layers=2,
+            num_attention_heads=16, image_size=336, patch_size=14,
+            hidden_act="quick_gelu",
+        ),
+    )
+    torch.manual_seed(0)
+    model = transformers.CLIPModel(hf_cfg).eval()
+
+    from dream2real_tpu.clip.convert import config_from_hf, params_from_hf_state_dict
+
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.vision_width == 1024 and cfg.projection_dim == 768
+    assert cfg.image_size == 336 and cfg.patch_size == 14
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+
+    pixels = rng.normal(size=(1, 336, 336, 3)).astype(np.float32)
+    ids = np.zeros((2, 77), np.int64)
+    ids[:, 0] = 49406
+    ids[0, 1:4] = [320, 1125, 49407]
+    ids[1, 1:6] = [320, 2368, 525, 320, 49407]
+
+    with torch.no_grad():
+        out = model(
+            pixel_values=torch.tensor(pixels).permute(0, 3, 1, 2),
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.ones_like(torch.tensor(ids)),
+        )
+    ref = out.logits_per_image.numpy()
+
+    img_emb = encode_image(params, cfg, jnp.asarray(pixels), dtype=jnp.float32)
+    txt_emb = encode_text(
+        params, cfg, jnp.asarray(ids.astype(np.int32)), dtype=jnp.float32
+    )
+    ours = np.asarray(logits_per_image(params, img_emb, txt_emb))
+    np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=1e-3)
+
+
 def test_build_captions_and_reduce_logits(rng):
     caps = build_captions("an apple on a plate", ["an apple and a plate"], use_templates=False)
     assert caps == ["an apple on a plate", "an apple and a plate"]

@@ -38,7 +38,7 @@ def _tok(texts, vocab=128, ctx=16):
     return ids
 
 
-def test_fused_matches_unfused(rng):
+def test_fused_matches_unfused(rng, tmp_path):
     scene = synth.default_scene()
     res = 64
     f = 0.9 * res
@@ -105,3 +105,22 @@ def test_fused_matches_unfused(rng):
     np.testing.assert_allclose(fused, unfused, rtol=0.02, atol=0.02)
     # Scores must vary across poses (not a constant function).
     assert np.std(fused) > 1e-4
+
+    # save_renders=True stays fused (same scores) AND streams the cb_render/
+    # artifacts that previously required the slow unfused path.
+    import os
+
+    renderer.out_render_path = str(tmp_path / "cb_render")
+    fused_saved = _fused_score(
+        renderer, scorer, _tok, tm, poses, cams[:1].astype(np.float32),
+        np.stack(depths[:1]), None, T_WO_1, use_templates=False,
+        save_renders=True,
+    )
+    np.testing.assert_allclose(fused_saved, fused, rtol=1e-5, atol=1e-5)
+    files = sorted(os.listdir(renderer.out_render_path))
+    assert files == [f"cb_rgb_{i:04d}.png" for i in range(8)]
+    # Artifact content matches the unfused renderer's composites.
+    from PIL import Image
+
+    saved0 = np.asarray(Image.open(tmp_path / "cb_render" / "cb_rgb_0000.png"))
+    np.testing.assert_array_equal(saved0, renders[0])

@@ -1,0 +1,100 @@
+"""Sharded fused imagine-and-score: single-device vs 8-device-mesh equality.
+
+The multi-chip program (parallel/imagine.py shard_map over the pose axis)
+must be numerically identical to the single-chip fused program — the only
+collective is the final all-gather of scores, which cannot change values.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dream2real_tpu.clip.model import CLIPConfig, init_clip_params
+from dream2real_tpu.nerf.combined import BackgroundView
+from dream2real_tpu.nerf.model import NGPConfig, init_ngp_params
+from dream2real_tpu.nerf.render import RenderSettings
+from dream2real_tpu.ops import cameras
+from dream2real_tpu.parallel.imagine import make_imagine_and_score
+from dream2real_tpu.parallel.mesh import data_mesh
+
+
+def _tiny_stack(res=32):
+    key = jax.random.PRNGKey(0)
+    ngp_cfg = NGPConfig(
+        mlp_width=32, mlp_depth=3, skip_layer=2, posenc_deg=4, geo_feat_dim=7,
+        aabb_min=(0.0, -0.6, -0.1), aabb_max=(1.1, 0.6, 0.9),
+    )
+    fg_params = init_ngp_params(key, ngp_cfg)
+    clip_cfg = CLIPConfig(
+        image_size=res, patch_size=8, vision_width=32, vision_layers=2,
+        vision_heads=4, text_width=32, text_layers=2, text_heads=4,
+        projection_dim=16,
+    )
+    clip_params = init_clip_params(key, clip_cfg)
+    settings = RenderSettings(n_coarse=8, n_fine=8, near=0.05, far=2.0)
+    f = 0.9 * res
+    K = np.array([[f, 0, res / 2], [0, f, res / 2], [0, 0, 1.0]])
+    dirs_cam = cameras.pixel_dirs(res, res, jnp.asarray(K))
+    bg = BackgroundView(
+        rgb=jnp.zeros((res, res, 3)),
+        alpha=jnp.ones((res, res)),
+        depth=jnp.full((res, res), 1.0),
+    )
+    T_WC = jnp.asarray(
+        np.array(
+            [[1, 0, 0, 0.5], [0, -1, 0, 0.0], [0, 0, -1, 0.6], [0, 0, 0, 1]],
+            np.float32,
+        )
+    )
+    T_WO = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.5, 0.0, 0.05]))
+    txt = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, clip_cfg.projection_dim)),
+        jnp.float32,
+    )
+    return ngp_cfg, clip_cfg, fg_params, clip_params, settings, dirs_cam, bg, T_WC, T_WO, txt
+
+
+def _poses(k):
+    p = np.tile(np.eye(4, dtype=np.float32)[None], (k, 1, 1))
+    p[:, 0, 3] = np.linspace(0.4, 0.6, k)
+    p[:, 2, 3] = 0.05
+    return jnp.asarray(p)
+
+
+def test_sharded_matches_single_device():
+    (ngp_cfg, clip_cfg, fg_params, clip_params, settings, dirs_cam, bg,
+     T_WC, T_WO, txt) = _tiny_stack()
+    kwargs = dict(n_norm_captions=1, use_templates=False, clip_batch=2)
+
+    single = make_imagine_and_score(
+        ngp_cfg, clip_cfg, settings, dirs_cam, **kwargs
+    )
+    mesh = data_mesh(8)
+    sharded = make_imagine_and_score(
+        ngp_cfg, clip_cfg, settings, dirs_cam, mesh=mesh, **kwargs
+    )
+
+    poses = _poses(16)  # 2 per device
+    s1 = np.asarray(single(fg_params, clip_params, T_WO, T_WC, bg, txt, poses))
+    s8 = np.asarray(sharded(fg_params, clip_params, T_WO, T_WC, bg, txt, poses))
+    assert s1.shape == s8.shape == (16,)
+    assert np.isfinite(s1).all()
+    np.testing.assert_allclose(s8, s1, rtol=1e-5, atol=1e-5)
+    assert np.std(s1) > 0  # not a constant function of pose
+
+
+def test_return_renders_same_scores():
+    (ngp_cfg, clip_cfg, fg_params, clip_params, settings, dirs_cam, bg,
+     T_WC, T_WO, txt) = _tiny_stack()
+    kwargs = dict(n_norm_captions=1, use_templates=False, clip_batch=2)
+    plain = make_imagine_and_score(ngp_cfg, clip_cfg, settings, dirs_cam, **kwargs)
+    with_renders = make_imagine_and_score(
+        ngp_cfg, clip_cfg, settings, dirs_cam, return_renders=True, **kwargs
+    )
+    poses = _poses(4)
+    s = np.asarray(plain(fg_params, clip_params, T_WO, T_WC, bg, txt, poses))
+    s2, renders = with_renders(fg_params, clip_params, T_WO, T_WC, bg, txt, poses)
+    np.testing.assert_allclose(np.asarray(s2), s, rtol=1e-6, atol=1e-6)
+    renders = np.asarray(renders)
+    assert renders.shape == (4, 32, 32, 3)
+    assert renders.dtype == np.uint8

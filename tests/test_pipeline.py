@@ -120,6 +120,14 @@ def test_full_pipeline_synth(tmp_path):
     assert best_pose.shape == (4, 4)
     assert np.isfinite(best_pose).all()
 
+    # Stage-timer observability: every pipeline stage reported wall-clock.
+    for stage in (
+        "segmentation", "full_scene_nerf", "llm_interpret", "task_nerfs",
+        "imagine_and_score",
+    ):
+        assert stage in eng.stage_timer.stages, eng.stage_timer.stages
+    assert "total" in eng.stage_timer.report()
+
     # Artifact layout (checkpoint/resume parity, SURVEY §5).
     for artifact in (
         "goal_pose.txt", "pose_batch.txt", "pose_scores.txt",
