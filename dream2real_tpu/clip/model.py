@@ -97,7 +97,9 @@ def _ln(x, g, b, eps=1e-5):
     return ((x32 - mu) * jax.lax.rsqrt(var + eps) * g + b).astype(x.dtype)
 
 
-def _attn(x, blk, n_heads, mask=None, dtype=jnp.bfloat16):
+def _attn(x, blk, n_heads, mask=None, dtype=jnp.bfloat16, causal=False):
+    """mask semantics: None (bidirectional, vision tower) or causal=True
+    (text tower). An explicit additive `mask` forces the XLA fallback."""
     B, T, W = x.shape
     qkv = jnp.dot(x, blk["qkv"]["w"].astype(dtype), preferred_element_type=jnp.float32)
     qkv = (qkv + blk["qkv"]["b"]).astype(dtype)
@@ -108,15 +110,32 @@ def _attn(x, blk, n_heads, mask=None, dtype=jnp.bfloat16):
         return t.reshape(B, T, n_heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    logits = logits * (hd**-0.5)
-    if mask is not None:
-        logits = logits + mask
-    w = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32)
+    if mask is None and _use_pallas_attn():
+        # Fused VMEM-resident attention: the unfused path below writes the
+        # (B, H, T, T) f32 logits to HBM (~680 MB/layer at the scoring batch)
+        # — at ViT-L scale that HBM round-trip, not FLOPs, bounds throughput.
+        from dream2real_tpu.ops.attention import mha
+
+        out = mha(q, k, v, causal=causal).astype(dtype)
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits * (hd**-0.5)
+        if causal:
+            cm = jnp.full((T, T), -jnp.inf, jnp.float32)
+            mask = jnp.triu(cm, k=1)[None, None] if mask is None else mask
+        if mask is not None:
+            logits = logits + mask
+        w = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, W).astype(dtype)
     out = jnp.dot(out, blk["proj"]["w"].astype(dtype), preferred_element_type=jnp.float32)
     return (out + blk["proj"]["b"]).astype(dtype)
+
+
+def _use_pallas_attn() -> bool:
+    import os
+
+    return os.environ.get("D2R_PALLAS_ATTN", "1") != "0"
 
 
 def _mlp_block(x, blk, dtype=jnp.bfloat16):

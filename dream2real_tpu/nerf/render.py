@@ -155,15 +155,20 @@ def render_rays(
         jitter = (jax.random.uniform(sub, origins.shape[:-1] + (nc,)) - 0.5) / nc
         frac = frac + jitter
     ts_c = t0[..., None] + (t1 - t0)[..., None] * frac  # (..., nc)
-    pos_c = origins[..., None, :] + dirs[..., None, :] * ts_c[..., None]
-    sigma_c, _ = density_fn(params, pos_c, cfg, settings.compute_dtype)
-    _, _, _, w_c = _composite(
-        sigma_c, jnp.zeros(sigma_c.shape + (3,)), ts_c, d_norm, settings.min_transmittance
-    )
 
     # Fine pass: importance-sample from (detached) coarse weights, then
     # evaluate the full field on the sorted union of coarse+fine samples.
+    # The density-only coarse eval exists ONLY to drive this resampler: when
+    # n_fine == 0 (the imagination crop fast path) it would re-run the trunk
+    # MLP — ~97% of field FLOPs — on the exact samples the full pass below
+    # evaluates anyway, so it is skipped entirely.
     if settings.n_fine > 0:
+        pos_c = origins[..., None, :] + dirs[..., None, :] * ts_c[..., None]
+        sigma_c, _ = density_fn(params, pos_c, cfg, settings.compute_dtype)
+        _, _, _, w_c = _composite(
+            sigma_c, jnp.zeros(sigma_c.shape + (3,)), ts_c, d_norm,
+            settings.min_transmittance,
+        )
         sub = None
         if key is not None:
             key, sub = jax.random.split(key)

@@ -1,0 +1,53 @@
+"""Pallas CLIP attention kernel vs the XLA einsum path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dream2real_tpu.ops.attention import mha
+
+
+def _ref_attn(q, k, v, causal):
+    D = q.shape[-1]
+    lg = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * (D**-0.5)
+    if causal:
+        T = q.shape[2]
+        lg = lg + jnp.triu(jnp.full((T, T), -jnp.inf, jnp.float32), k=1)[None, None]
+    w = jax.nn.softmax(lg, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("T", [37, 128])  # 37 exercises the pad-to-128 path
+def test_mha_matches_xla(causal, T):
+    B, H, D = 2, 3, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (
+        jax.random.normal(kk, (B, H, T, D)).astype(jnp.bfloat16) for kk in ks
+    )
+    out = mha(q, k, v, causal=causal)
+    ref = _ref_attn(q, k, v, causal)
+    assert out.shape == (B, H, T, D)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.02, rtol=0.05
+    )
+
+
+def test_mha_padding_does_not_leak():
+    """Valid-query outputs must be identical whether T is tile-aligned or not:
+    padded keys are masked out, so appending rows cannot change them."""
+    B, H, T, D = 1, 2, 100, 8
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, T, D)) for kk in ks)
+    out = mha(q, k, v)
+    # Same data placed in a 128-token buffer with junk in the pad region.
+    pad = ((0, 0), (0, 0), (0, 28), (0, 0))
+    qp = jnp.pad(q, pad, constant_values=7.0)
+    ref = _ref_attn(q, k, v, causal=False)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=1e-4, rtol=1e-4
+    )
+    assert qp.shape[2] == 128
