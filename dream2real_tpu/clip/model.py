@@ -140,9 +140,11 @@ def _use_pallas_attn() -> bool:
 
 def _mlp_block(x, blk, dtype=jnp.bfloat16):
     h = jnp.dot(x, blk["fc1"]["w"].astype(dtype), preferred_element_type=jnp.float32)
-    h = h + blk["fc1"]["b"]
-    # CLIP uses QuickGELU: x * sigmoid(1.702 x).
-    h = (h * jax.nn.sigmoid(1.702 * h)).astype(dtype)
+    # Round to bf16 BEFORE the activation: the (tokens, 4096) f32
+    # intermediate is ~300 MB of HBM traffic per layer at scoring batch;
+    # QuickGELU (x * sigmoid(1.702 x)) is insensitive to the rounding.
+    h = (h + blk["fc1"]["b"]).astype(dtype)
+    h = h * jax.nn.sigmoid(1.702 * h.astype(jnp.float32)).astype(dtype)
     h = jnp.dot(h, blk["fc2"]["w"].astype(dtype), preferred_element_type=jnp.float32)
     return (h + blk["fc2"]["b"]).astype(dtype)
 
@@ -166,12 +168,43 @@ def encode_image(params, cfg: CLIPConfig, pixels: jnp.ndarray, dtype=jnp.bfloat1
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["v_pos_emb"].astype(dtype)
     x = _ln(x, params["v_ln_pre_g"], params["v_ln_pre_b"])
-    for i in range(cfg.vision_layers):
+    for i in range(cfg.vision_layers - 1):
         x = _block(x, params[f"v_blk{i}"], cfg.vision_heads, dtype=dtype)
-    x = _ln(x[:, 0], params["v_ln_post_g"], params["v_ln_post_b"])
+    # Final block: only the CLS row feeds ln_post/pooling, so its proj, MLP
+    # and attention-query run for token 0 alone (exact same math — attention
+    # keys/values still cover every token).
+    blk = params[f"v_blk{cfg.vision_layers - 1}"]
+    x_cls = x[:, :1] + _attn_cls(x, blk, cfg.vision_heads, dtype)
+    x_cls = x_cls + _mlp_block(_ln(x_cls, blk["ln2_g"], blk["ln2_b"]), blk, dtype)
+    x = _ln(x_cls[:, 0], params["v_ln_post_g"], params["v_ln_post_b"])
     return jnp.dot(
         x.astype(jnp.float32), params["v_proj"], precision=jax.lax.Precision.DEFAULT
     )
+
+
+def _attn_cls(x, blk, n_heads, dtype=jnp.bfloat16):
+    """Attention output for the CLS (first) token only, (B, T, W) -> (B, 1, W).
+
+    k/v come from every token; q/proj only from token 0. Einsum path: the
+    (B, H, 1, T) logits are tiny, no kernel needed."""
+    B, T, W = x.shape
+    xn = _ln(x, blk["ln1_g"], blk["ln1_b"])
+    qkv = jnp.dot(xn, blk["qkv"]["w"].astype(dtype), preferred_element_type=jnp.float32)
+    qkv = (qkv + blk["qkv"]["b"]).astype(dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    hd = W // n_heads
+
+    def heads(t):
+        return t.reshape(B, -1, n_heads, hd).transpose(0, 2, 1, 3)
+
+    q = heads(q[:, :1])  # (B, H, 1, hd)
+    k, v = heads(k), heads(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits * (hd**-0.5), axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32)
+    out = out.transpose(0, 2, 1, 3).reshape(B, 1, W).astype(dtype)
+    out = jnp.dot(out, blk["proj"]["w"].astype(dtype), preferred_element_type=jnp.float32)
+    return (out + blk["proj"]["b"]).astype(dtype)
 
 
 def encode_text(params, cfg: CLIPConfig, ids: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:

@@ -37,6 +37,16 @@ from dream2real_tpu.ops.se3 import convert_virtual_pose
 CLIP_RES = 336  # reference clip_scoring.py:25
 
 
+def _use_march_kernel(cfg, settings, crop: int) -> bool:
+    if os.environ.get("D2R_PALLAS_MARCH", "1") == "0":
+        return False
+    from dream2real_tpu.nerf.march_kernel import supports
+
+    # Block size 2048 must divide the ray count (crop=64/128/256...); other
+    # crops take the XLA fallback.
+    return supports(cfg, settings) and (crop * crop) % 2048 == 0
+
+
 class BackgroundView(NamedTuple):
     """Per-render-view precomputed background (amortised over all poses)."""
 
@@ -136,10 +146,21 @@ def render_pose_cropped(
     R = T_WC_2[:3, :3]
     t = T_WC_2[:3, 3]
     dirs = jnp.einsum("ij,hwj->hwi", R, d_crop)
-    origins = jnp.broadcast_to(t, dirs.shape)
-    out = render_rays(
-        fg_params, fg_cfg, origins, dirs, settings, march_aabb=obj_aabb
-    )
+    if _use_march_kernel(fg_cfg, settings, crop):
+        # Fused pallas march: per-sample activations never leave VMEM
+        # (XLA lowering of the march is HBM-layout-bound, ~24% MFU measured).
+        from dream2real_tpu.nerf.march_kernel import march_rays_fused
+
+        out = march_rays_fused(
+            fg_params, fg_cfg, t, dirs.reshape(-1, 3), obj_aabb, settings,
+            block_rays=min(2048, crop * crop),
+        )
+        out = {k: v.reshape((crop, crop) + v.shape[1:]) for k, v in out.items()}
+    else:
+        origins = jnp.broadcast_to(t, dirs.shape)
+        out = render_rays(
+            fg_params, fg_cfg, origins, dirs, settings, march_aabb=obj_aabb
+        )
     bg_crop = BackgroundView(
         rgb=jax.lax.dynamic_slice(bg.rgb, (v0, u0, 0), (crop, crop, 3)),
         alpha=jax.lax.dynamic_slice(bg.alpha, (v0, u0), (crop, crop)),

@@ -81,6 +81,65 @@ def _attention_padded(q, k, v, n_valid: int, causal: bool, interpret: bool):
     )(q, k, v)
 
 
+def _attn_kernel2(q_ref, k_ref, v_ref, bias_ref, o_ref, *, n_heads: int):
+    """Per-image cell: loop over heads with lean softmax.
+
+    (T, T) passes per head: QK^T write (MXU) -> fused exp((s + bias) - m)
+    read->write bf16 (one VPU pass; the key-pad mask is a broadcast bias row,
+    not a (T, T) where) -> PV read (MXU). max/sum are VPU reduces; the 1/l
+    normalisation happens on the (T, D) output, not the (T, T) weights. The
+    per-head chains are independent so Mosaic can overlap head h's VPU
+    softmax with head h+1's MXU matmuls."""
+
+    bias = bias_ref[:]  # (1, T) 0 / -big at key pads
+
+    def one_head(h, carry):
+        q = q_ref[0, h]  # (T, D) bf16, pre-scaled
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (T, T) f32 in VMEM
+        s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m).astype(q.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, h] = (o / l).astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, n_heads, one_head, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "interpret"))
+def _attention_padded2(q, k, v, n_valid: int, interpret: bool):
+    B, H, Tq, D = q.shape
+    T = k.shape[2]
+    bias = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) < n_valid, 0.0, _MASK_VALUE
+    ).astype(jnp.float32)
+    qspec = pl.BlockSpec((1, H, Tq, D), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((1, H, T, D), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel2, n_heads=H),
+        grid=(B,),
+        in_specs=[qspec, spec, spec,
+                  pl.BlockSpec((1, T), lambda b: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Tq, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Tq * T * D,
+            bytes_accessed=2 * B * H * (T + Tq) * D * q.dtype.itemsize,
+            transcendentals=B * H * Tq * T,
+        ),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
 def mha(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -98,8 +157,20 @@ def mha(
         interpret = jax.default_backend() != "tpu"
     t_pad = -T % 128
     q = q * (D**-0.5)
+    if causal:
+        if t_pad:
+            pad = ((0, 0), (0, 0), (0, t_pad), (0, 0))
+            q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+        out = _attention_padded(
+            q, k, v, n_valid=T, causal=True, interpret=bool(interpret)
+        )
+        return out[:, :, :T] if t_pad else out
+    # Bidirectional: keys/values pad to the 128-lane tile (they form the
+    # scores' lane dim); query rows only to the 8-sublane tile.
+    tq_pad = -T % 8
     if t_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, tq_pad), (0, 0)))
         pad = ((0, 0), (0, 0), (0, t_pad), (0, 0))
-        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
-    out = _attention_padded(q, k, v, n_valid=T, causal=causal, interpret=bool(interpret))
-    return out[:, :, :T] if t_pad else out
+        k, v = (jnp.pad(x, pad) for x in (k, v))
+    out = _attention_padded2(q, k, v, n_valid=T, interpret=bool(interpret))
+    return out[:, :, :T] if t_pad or tq_pad else out
