@@ -90,6 +90,42 @@ def _march_kernel(
     t1 = t1_ref[0]
     R = d.shape[1]
 
+    # Empty-space skip (instant-ngp's occupancy culling, block-granular): the
+    # crop window is fixed-size while the object's projection often covers a
+    # fraction of it — blocks whose rays ALL miss the march box write zeros
+    # and skip the S-step march entirely. Exact: missed rays composite to
+    # zero anyway (the caller also re-masks by t1 > t0).
+    any_hit = jnp.sum((t1 > t0).astype(jnp.int32)) > 0
+
+    @pl.when(jnp.logical_not(any_hit))
+    def _skip():
+        rgb_ref[0] = jnp.zeros_like(rgb_ref[0])
+        alpha_ref[0] = jnp.zeros_like(alpha_ref[0])
+        depth_ref[0] = jnp.zeros_like(depth_ref[0])
+
+    @pl.when(any_hit)
+    def _march():
+        _march_block(
+            o, d, t0, t1, box_ref,
+            w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+            w4_ref, b4_ref, cw0_ref, cw1_ref, cw2_ref,
+            rgb_ref, alpha_ref, depth_ref,
+            n_samples=n_samples, min_transmittance=min_transmittance,
+        )
+
+
+def _march_block(
+    o, d, t0, t1, box_ref,
+    w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    w4_ref, b4_ref, cw0_ref, cw1_ref, cw2_ref,
+    rgb_ref, alpha_ref, depth_ref,
+    *, n_samples: int, min_transmittance: float,
+):
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    R = d.shape[1]
+    deg = 10
+
     dn = jnp.sqrt(jnp.sum(d * d, axis=0, keepdims=True))  # (1, R) |d|
     dt = (t1 - t0) / n_samples
 
