@@ -80,10 +80,8 @@ def _march_kernel(
     w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     w4_ref, b4_ref, cw0_ref, cw1_ref, cw2_ref,
     rgb_ref, alpha_ref, depth_ref,
-    *, n_samples: int, min_transmittance: float, deg: int,
+    *, n_samples: int, min_transmittance: float,
 ):
-    f32 = jnp.float32
-    bf16 = jnp.bfloat16
     o = o_ref[:]             # (3, 1) camera centre (shared by the block)
     d = d_ref[0]             # (3, R) world dirs, z-normalized
     t0 = t0_ref[0]           # (1, R)
@@ -331,7 +329,6 @@ def march_rays_fused(
         _march_kernel,
         n_samples=S,
         min_transmittance=settings.min_transmittance,
-        deg=cfg.posenc_deg,
     )
     n_mac = R * S * (64 * 256 + 2 * 256 * 256 + 320 * 256 + 256 * 16
                      + 32 * 64 + 64 * 64 + 64 * 8)

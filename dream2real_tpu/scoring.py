@@ -74,13 +74,17 @@ def _fused_score(
         os.makedirs(save_dir)
 
         def _write(imgs_dev, start, count):
-            from PIL import Image
+            # Native C++ PNG encoder (releases the GIL in the writer thread);
+            # PIL fallback when libd2r_native isn't built.
+            from dream2real_tpu.native import png_write
 
             arr = np.asarray(imgs_dev)[:count]
             for j in range(count):
-                Image.fromarray(arr[j]).save(
-                    os.path.join(save_dir, f"cb_rgb_{start + j:04d}.png")
-                )
+                path = os.path.join(save_dir, f"cb_rgb_{start + j:04d}.png")
+                if not png_write(path, arr[j]):
+                    from PIL import Image
+
+                    Image.fromarray(arr[j]).save(path)
 
         writer = ThreadPoolExecutor(max_workers=1)
         futures = []
