@@ -42,9 +42,8 @@ def _use_march_kernel(cfg, settings, crop: int) -> bool:
         return False
     from dream2real_tpu.nerf.march_kernel import supports
 
-    # Block size 2048 must divide the ray count (crop=64/128/256...); other
-    # crops take the XLA fallback.
-    return supports(cfg, settings) and (crop * crop) % 2048 == 0
+    # Any crop size works: the kernel pads rays to a block multiple.
+    return supports(cfg, settings)
 
 
 class BackgroundView(NamedTuple):
@@ -153,7 +152,6 @@ def render_pose_cropped(
 
         out = march_rays_fused(
             fg_params, fg_cfg, t, dirs.reshape(-1, 3), obj_aabb, settings,
-            block_rays=min(2048, crop * crop),
         )
         out = {k: v.reshape((crop, crop) + v.shape[1:]) for k, v in out.items()}
     else:

@@ -272,9 +272,8 @@ def march_rays_fused(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    R = dirs.shape[0]
-    assert R % block_rays == 0, (R, block_rays)
-    nblk = R // block_rays
+    n_rays = dirs.shape[0]
+    block_rays = min(block_rays, max(128, n_rays))
     S = settings.n_coarse
 
     origin = origin.astype(jnp.float32)
@@ -286,6 +285,19 @@ def march_rays_fused(
     t1 = jnp.minimum(t1, settings.far)
     valid = t1 > t0
     t1 = jnp.where(valid, t1, t0 + 1e-3)
+
+    # Pad the ray set to a block multiple: padded rays march entirely beyond
+    # `far` (outside every box -> zero density -> exact zero outputs) and a
+    # fully-padded block short-circuits via the empty-space skip.
+    r_pad = -n_rays % block_rays
+    if r_pad:
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (r_pad, 3))]
+        )
+        t0 = jnp.concatenate([t0, jnp.full((r_pad,), settings.far + 1.0)])
+        t1 = jnp.concatenate([t1, jnp.full((r_pad,), settings.far + 0.5)])
+    R = n_rays + r_pad
+    nblk = R // block_rays
 
     box = jnp.stack(
         [
@@ -353,7 +365,7 @@ def march_rays_fused(
         p["w0"], p["b0"], p["w1"], p["b1"], p["w2"], p["b2"],
         p["w3"], p["b3"], p["w4"], p["b4"], p["cw0"], p["cw1"], p["cw2"],
     )
-    rgb = jnp.where(valid[:, None], rgb[0].T, 0.0)
-    alpha = jnp.where(valid, alpha[0], 0.0)
-    depth = jnp.where(valid, depth[0], 0.0)
+    rgb = jnp.where(valid[:, None], rgb[0].T[:n_rays], 0.0)
+    alpha = jnp.where(valid, alpha[0][:n_rays], 0.0)
+    depth = jnp.where(valid, depth[0][:n_rays], 0.0)
     return {"rgb": rgb, "alpha": alpha, "depth": depth}

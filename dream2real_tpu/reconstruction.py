@@ -237,8 +237,13 @@ def build_vis_model(
     opt_cam_poses = None
     if cfg.optimize_extrinsics:
         opt_cam_poses = np.asarray(optimized_poses(state["params"], jnp.asarray(poses)))
-        np.save(os.path.join(cfg.data_dir, "opt_cam_poses.npy"), opt_cam_poses)
-        export_task_transforms(cfg, opt_cam_poses)
+    if images_override is None:
+        # Full-scene build: the fg/bg task-NeRF stage always loads its poses
+        # from {fg,bg}_transforms.json / opt_cam_poses.npy, so export them
+        # even when extrinsics optimisation is off (raw poses then).
+        exported = opt_cam_poses if opt_cam_poses is not None else np.asarray(poses)
+        np.save(os.path.join(cfg.data_dir, "opt_cam_poses.npy"), exported)
+        export_task_transforms(cfg, exported)
 
     model = NGPModel(params=state["params"]["field"], cfg=ngp_cfg, settings=settings)
     if cfg.save_snapshot:

@@ -50,6 +50,24 @@ def test_march_kernel_matches_render_rays():
     )
 
 
+def test_march_kernel_non_multiple_ray_count():
+    """Ray counts that don't divide the block size pad internally; outputs
+    must equal the unpadded reference exactly (crop 168 product-path case)."""
+    params = init_ngp_params(jax.random.PRNGKey(0), CFG)
+    R = 300
+    origin = jnp.asarray([0.5, 0.0, -0.4])
+    lo, hi = [0.3, -0.2, 0.0], [0.7, 0.2, 0.3]
+    d = _rays(R, origin, lo, hi, seed=7)
+    march = (jnp.asarray(lo), jnp.asarray(hi))
+    ref = render_rays(
+        params, CFG, jnp.broadcast_to(origin, (R, 3)), d, SETTINGS, march_aabb=march
+    )
+    out = march_rays_fused(params, CFG, origin, d, march, SETTINGS, block_rays=128)
+    assert out["rgb"].shape == (R, 3)
+    np.testing.assert_allclose(np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out["alpha"]), np.asarray(ref["alpha"]), atol=5e-3)
+
+
 def test_march_kernel_miss_rays_zero():
     """Rays that miss the march box must return exact zeros (valid mask)."""
     params = init_ngp_params(jax.random.PRNGKey(0), CFG)
