@@ -57,6 +57,22 @@ class TrainConfig:
     seed: int = 0
 
 
+def _use_train_kernel(cfg: NGPConfig) -> bool:
+    """Fused training kernels: default on for TPU backends (interpret-mode
+    emulation is too slow for CPU test meshes — set D2R_PALLAS_TRAIN=1 to
+    force there, 0 to disable everywhere)."""
+    import os
+
+    flag = os.environ.get("D2R_PALLAS_TRAIN")
+    if flag == "0":
+        return False
+    from dream2real_tpu.nerf.train_kernel import supports_training
+
+    if not supports_training(cfg):
+        return False
+    return flag == "1" or jax.default_backend() == "tpu"
+
+
 def init_train_state(
     cfg: NGPConfig, tc: TrainConfig, n_images: int
 ) -> dict[str, Any]:
@@ -176,7 +192,19 @@ def make_train_chunk(
             origins = jax.lax.with_sharding_constraint(origins, ray_sharding)
             dirs = jax.lax.with_sharding_constraint(dirs, ray_sharding)
 
-        out = render_rays(params["field"], cfg, origins, dirs, settings, k_render)
+        if _use_train_kernel(cfg):
+            # Fused pallas forward+backward (train_kernel.py): the XLA
+            # lowering is HBM-bound at ~21% MFU; the kernel keeps per-sample
+            # activations in VMEM (recompute-in-backward).
+            from dream2real_tpu.nerf.train_kernel import render_rays_train
+
+            out = render_rays_train(
+                params["field"], cfg, origins, dirs, settings, k_render
+            )
+        else:
+            out = render_rays(
+                params["field"], cfg, origins, dirs, settings, k_render
+            )
         # Random-background alpha supervision (train_ngp.py:75).
         pred = out["rgb"] + bg * (1.0 - out["alpha"][:, None])
         tgt = target_rgb * target_a[:, None] + bg * (1.0 - target_a[:, None])
