@@ -66,8 +66,9 @@ def main():
         poll_steps=100 if args.small else 250,
         dynamic_time_extension=False,
     )
-    # Product training default (reconstruction.build_vis_model): flat 64.
-    settings = RenderSettings(n_coarse=64, n_fine=0, near=0.05, far=2.0)
+    # Product training default (reconstruction.build_vis_model): 32+32
+    # hierarchical (see the thin-object note there).
+    settings = RenderSettings(n_coarse=32, n_fine=32, near=0.05, far=2.0)
     dirs_cam = cameras.pixel_dirs(h, w, jnp.asarray(K))
     state = init_train_state(cfg, tc, n_images=rgba.shape[0])
     chunk = make_train_chunk(

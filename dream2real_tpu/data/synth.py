@@ -54,6 +54,22 @@ def default_scene() -> SynthScene:
     )
 
 
+def rect_scene() -> SynthScene:
+    """Variant with a RECTANGULAR-footprint movable box (0.14 x 0.06), so a
+    90-degree yaw visibly swaps the silhouette — used by the 6-DoF
+    orientation-grid validation (a square box makes yaw unobservable). The
+    green target's top face (0.18 x 0.18) fits the red box at either yaw."""
+    return SynthScene(
+        boxes=[
+            Box((0.40, -0.13, 0.0), (0.54, -0.07, 0.08), (0.85, 0.15, 0.10)),
+            Box((0.52, 0.02, 0.0), (0.70, 0.20, 0.06), (0.10, 0.75, 0.20)),
+            Box((0.36, 0.08, 0.0), (0.44, 0.16, 0.08), (0.15, 0.20, 0.85)),
+        ],
+        plane_z=0.0,
+        centre=(0.5, 0.0, 0.05),
+    )
+
+
 def look_at_pose(eye: np.ndarray, target: np.ndarray, up=(0, 0, 1)) -> np.ndarray:
     """Camera-to-world pose, OpenCV convention (+z forward, +y down)."""
     fwd = target - eye

@@ -177,16 +177,18 @@ def build_vis_model(
     if field_overrides:
         field_kw.update(field_overrides)
     ngp_cfg = NGPConfig(**field_kw)
-    # TRAINING samples: flat 64 uniform-jittered, no hierarchical resampling.
-    # Measured on v5e (3k steps, synthetic tabletop): flat-64 beats 32+32
-    # hierarchical on quality (33.1 vs 32.3 dB PSNR, 3.6 vs 5.5 mm depth
-    # error) and is ~20% faster per step (no coarse pass / inverse-CDF /
-    # union sort). The reference's instant-ngp doesn't use coarse/fine
-    # either (occupancy-grid marching); uniform + RGB-D depth supervision
-    # is this build's analogue. Hierarchical stays available via
-    # RenderSettings for render-time use.
+    # TRAINING sample strategy (D2R_TRAIN_SAMPLING="nc,nf" overrides):
+    # hierarchical 32+32 by default. Flat uniform (e.g. "64,0") is ~25%
+    # faster and measured BETTER on chunky geometry (33.1 vs 32.3 dB on the
+    # default synthetic tabletop) but it undersamples THIN objects — the
+    # 6 cm rect-scene box got ~2-3 samples/ray and the fg field trained to
+    # fog (identity PSNR 28->18 dB, argmax broke). The coarse->fine pass is
+    # what concentrates samples on thin surfaces, so it stays the default.
+    nc, nf = (
+        int(v) for v in os.environ.get("D2R_TRAIN_SAMPLING", "32,32").split(",")
+    )
     settings = RenderSettings(
-        n_coarse=64, n_fine=0, near=cfg.near_distance, far=cfg.max_depth
+        n_coarse=nc, n_fine=nf, near=cfg.near_distance, far=cfg.max_depth
     )
 
     steps_scale = float(os.environ.get("D2R_TRAIN_STEPS_SCALE", "1.0"))
