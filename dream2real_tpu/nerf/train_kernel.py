@@ -642,7 +642,34 @@ def render_rays_train(
         frac = frac + jitter
     ts_c = t0[..., None] + (t1 - t0)[..., None] * frac  # (R, nc)
 
-    if settings.n_fine > 0:
+    import os as _os
+
+    fused_sampler = (
+        key is not None and _os.environ.get("D2R_FUSED_SAMPLER", "1") == "1"
+    )
+    if settings.n_fine > 0 and fused_sampler:
+        # One kernel: coarse density + defensive-mixture inverse-CDF draws,
+        # SORTED by construction (order-statistics trick) — replaces the
+        # XLA sample_pdf + union sort (~1.5 ms/step at b=4096). Draws
+        # nc+nf positions so the main pass sees the same sample budget as
+        # the union path. Entirely stop-gradient, like the XLA resampler.
+        n_draw = settings.n_coarse + settings.n_fine
+        mix = float(_os.environ.get("D2R_SAMPLER_MIX", "0.5"))
+        key, sub = jax.random.split(key)
+        exp_draws = -jnp.log(
+            jax.random.uniform(
+                sub, origins.shape[:-1] + (n_draw + 1,),
+                minval=1e-12, maxval=1.0,
+            )
+        )
+        ts_all = density_sample_fused(
+            jax.lax.stop_gradient(params), cfg,
+            jax.lax.stop_gradient(origins), jax.lax.stop_gradient(dirs),
+            jax.lax.stop_gradient(ts_c), exp_draws,
+            n_fine=n_draw, min_transmittance=settings.min_transmittance,
+            mix=mix, block_rays=block_rays, interpret=interpret,
+        )
+    elif settings.n_fine > 0:
         # The whole resampler is stop-gradient (the XLA path's ts_c->ts_f
         # gradient path is one of the documented dropped terms).
         w_c = density_weights_fused(
@@ -671,3 +698,153 @@ def render_rays_train(
         "alpha": jnp.where(valid, out["alpha"], 0.0),
         "depth": jnp.where(valid, out["depth"], 0.0),
     }
+
+
+def _density_sampler_kernel(
+    o_ref, d_ref, ts_ref, dl_ref, exp_ref, box_ref,
+    w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    w4_ref, b4_ref,
+    tsf_ref,
+    w_scr,
+    *, n_coarse: int, n_fine: int, min_transmittance: float, mix: float,
+):
+    """Coarse density pass + IN-KERNEL inverse-CDF resampling.
+
+    Replaces the XLA sample_pdf + union sort (~1.5 ms/step at b=4096):
+    computes the coarse composite weights like _density_weights_kernel,
+    builds the per-ray CDF over a defensive mixture proposal
+    (w + mix/(1-mix) * mean(w) per bin — ~`mix` of the samples land
+    uniformly, so empty space keeps alpha supervision), and draws n_fine
+    SORTED positions via the order-statistics trick: normalised prefix
+    sums of iid exponentials are sorted U(0,1) draws with exactly the iid
+    ensemble's marginals — no sort needed. exp_ref carries pre-drawn
+    -log(uniform) rows ((n_fine+1), R). Mosaic notes: per-sample weight
+    rows go to a VMEM scratch ref (value dynamic-update is not lowerable)
+    and the CDF prefix-sum is a lower-triangular matmul.
+    """
+    o = o_ref[0]
+    d = d_ref[0]
+    R = d.shape[1]
+    dn = jnp.sqrt(jnp.sum(d * d, axis=0, keepdims=True))
+    a3, b3, A, B, lo_f, hi_f, _ = _enc_affine(o, d, box_ref)
+    w0, b0 = w0_ref[:], b0_ref[:]
+    w1, b1 = w1_ref[:], b1_ref[:]
+    w2, b2 = w2_ref[:], b2_ref[:]
+    w3, b3b = w3_ref[:], b3_ref[:]
+    w4, b4b = w4_ref[:], b4_ref[:]
+
+    def body(s, trans):
+        ts_row = ts_ref[0, pl.ds(s, 1)]
+        dl_row = dl_ref[0, pl.ds(s, 1)]
+        enc, _, inside = _sample_geom(o, d, ts_row, a3, b3, A, B, lo_f, hi_f)
+        h = jnp.dot(w0, enc, preferred_element_type=_F32) + b0
+        h = jnp.maximum(h, 0.0).astype(_BF16)
+        h = jnp.dot(w1, h, preferred_element_type=_F32) + b1
+        h = jnp.maximum(h, 0.0).astype(_BF16)
+        h = jnp.dot(w2, h, preferred_element_type=_F32) + b2
+        h = jnp.maximum(h, 0.0).astype(_BF16)
+        h = jnp.concatenate([h, enc], 0)
+        h = jnp.dot(w3, h, preferred_element_type=_F32) + b3b
+        h = jnp.maximum(h, 0.0).astype(_BF16)
+        x = (jnp.dot(w4[0:8], h, preferred_element_type=_F32) + b4b[0:8])
+        x = x.astype(_BF16)
+        sigma = jnp.exp(jnp.clip(x[0:1].astype(_F32), -15.0, 15.0))
+        sigma = jnp.where(inside, sigma, 0.0)
+        a = 1.0 - jnp.exp(-sigma * dl_row * dn)
+        w = jnp.where(trans < min_transmittance, 0.0, a * trans)
+        w_scr[pl.ds(s, 1)] = w
+        return trans * (1.0 - a + 1e-10)
+
+    jax.lax.fori_loop(0, n_coarse, body, jnp.ones((1, R), _F32))
+
+    # Defensive-mixture proposal + CDF over the coarse bins (sample_pdf's
+    # w + 1e-5 floor replaced by a proportional floor so coverage does not
+    # vanish as the field converges).
+    ts_c = ts_ref[0]  # (S_c, R)
+    w_rows = w_scr[...]
+    w_mean = jnp.sum(w_rows, axis=0, keepdims=True) / n_coarse
+    w_def = w_rows + (mix / (1.0 - mix)) * w_mean + 1e-8
+    total = jnp.sum(w_def, axis=0, keepdims=True)
+    pdf = w_def / total
+    # Inclusive prefix sum along sublanes as a lower-triangular matmul.
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_coarse, n_coarse), 0)
+        >= jax.lax.broadcasted_iota(jnp.int32, (n_coarse, n_coarse), 1)
+    ).astype(_F32)
+    cdf = jnp.dot(tri, pdf, preferred_element_type=_F32)  # (S_c, R)
+    # Bin edges: sample_pdf's mids construction (render.py:60-62).
+    mids = 0.5 * (ts_c[1:] + ts_c[:-1])
+    bin_lo = jnp.concatenate([ts_c[0:1], mids], 0)  # (S_c, R)
+    bin_hi = jnp.concatenate([mids, ts_c[-1:]], 0)
+    cdf_lo = jnp.concatenate([jnp.zeros((1, R), _F32), cdf[:-1]], 0)
+    last_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_coarse, R), 0) == n_coarse - 1
+    ).astype(_F32)
+
+    s_total = jnp.sum(exp_ref[0], axis=(0,), keepdims=False)[None, :]  # (1,R)
+
+    def draw(i, s_prefix):
+        s_prefix = s_prefix + exp_ref[0, pl.ds(i, 1)]
+        u = s_prefix / s_total  # (1, R), ascending in i
+        sel = ((cdf_lo <= u) & (u < cdf)).astype(_F32)  # one-hot (S_c, R)
+        # u ~= 1 edge: nothing selected -> clamp into the last bin.
+        miss = 1.0 - jnp.sum(sel, axis=0, keepdims=True)
+        sel = sel + last_row * miss
+        lo = jnp.sum(sel * bin_lo, axis=0, keepdims=True)
+        hi = jnp.sum(sel * bin_hi, axis=0, keepdims=True)
+        clo = jnp.sum(sel * cdf_lo, axis=0, keepdims=True)
+        chi = jnp.sum(sel * cdf, axis=0, keepdims=True)
+        denom = jnp.where(chi - clo < 1e-8, 1.0, chi - clo)
+        tsf_ref[0, pl.ds(i, 1)] = lo + (u - clo) / denom * (hi - lo)
+        return s_prefix
+
+    jax.lax.fori_loop(0, n_fine, draw, jnp.zeros((1, R), _F32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_fine", "min_transmittance", "mix",
+                              "block_rays", "interpret")
+)
+def density_sample_fused(
+    params, cfg: NGPConfig, origins, dirs, ts_c, exp_draws,
+    n_fine: int, min_transmittance: float, mix: float = 0.25,
+    block_rays: int = 1024, interpret: bool | None = None,
+):
+    """Coarse pass + importance resampling in ONE kernel. Returns SORTED
+    fine sample positions (R, n_fine). exp_draws: (R, n_fine + 1) iid
+    Exp(1) draws (= -log U)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_rays, S = ts_c.shape
+    block_rays = min(block_rays, max(128, n_rays))
+    origins = origins.astype(_F32)
+    dirs = dirs.astype(_F32)
+    ts_c = ts_c.astype(_F32)
+    deltas, box, p = _prep(params, cfg, origins, dirs, ts_c)
+    (o, d, t, dl, e), R = _pad_rays(
+        [origins, dirs, ts_c, deltas, exp_draws.astype(_F32)],
+        n_rays, block_rays, [0.0, 1.0, 1e6, 1e2, 1.0],
+    )
+    spec, in_specs, ray3, _, rep2 = _ray_specs(S, block_rays)
+    in_specs.insert(4, spec((1, n_fine + 1, block_rays), ray3))  # exp draws
+    in_specs += [spec(p[k].shape, rep2) for k in _WEIGHT_NAMES[:10]]
+    out = pl.pallas_call(
+        functools.partial(
+            _density_sampler_kernel, n_coarse=S, n_fine=n_fine,
+            min_transmittance=min_transmittance, mix=mix,
+        ),
+        grid=(R // block_rays,),
+        in_specs=in_specs,
+        out_specs=[spec((1, n_fine, block_rays), ray3)],
+        out_shape=[jax.ShapeDtypeStruct((1, n_fine, R), _F32)],
+        scratch_shapes=[pltpu.VMEM((S, block_rays), _F32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=bool(interpret),
+    )(
+        o.T[None], d.T[None], t.T[None], dl.T[None], e.T[None], box,
+        *[p[k] for k in _WEIGHT_NAMES[:10]],
+    )[0]
+    return out[0].T[:n_rays]  # (R, n_fine)

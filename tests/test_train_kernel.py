@@ -228,3 +228,58 @@ def test_supports_training_gate():
     assert supports_training(CFG)
     assert not supports_training(CFG._replace(field_type="hashgrid"))
     assert not supports_training(CFG._replace(mlp_width=128))
+
+
+def test_fused_sampler_distribution():
+    """density_sample_fused draws sorted positions whose empirical mass per
+    coarse bin matches the defensive-mixture CDF built from the same field."""
+    from dream2real_tpu.nerf.render import _composite, ray_aabb
+    from dream2real_tpu.nerf.model import density_fn
+    from dream2real_tpu.nerf.train_kernel import density_sample_fused
+
+    params = init_ngp_params(jax.random.PRNGKey(0), CFG)
+    R, S_c, n_draw = 256, 8, 64
+    o, d = _train_rays(R, seed=31)
+    t0, t1 = ray_aabb(o, d, CFG.aabb_min, CFG.aabb_max)
+    t0 = jnp.maximum(t0, SETTINGS.near)
+    t1 = jnp.where(t1 > t0, jnp.minimum(t1, SETTINGS.far), t0 + 1e-3)
+    ts_c = t0[:, None] + (t1 - t0)[:, None] * (jnp.arange(S_c) + 0.5) / S_c
+    exp_draws = -jnp.log(
+        jax.random.uniform(jax.random.PRNGKey(7), (R, n_draw + 1),
+                           minval=1e-12, maxval=1.0)
+    )
+    ts_f = np.asarray(
+        density_sample_fused(params, CFG, o, d, ts_c, exp_draws,
+                             n_fine=n_draw, min_transmittance=1e-4,
+                             block_rays=128)
+    )
+    assert ts_f.shape == (R, n_draw)
+    # Sorted by construction, inside the coarse range.
+    assert np.all(np.diff(ts_f, axis=1) >= -1e-6)
+    assert np.all(ts_f >= np.asarray(ts_c)[:, :1] - 1e-5)
+    assert np.all(ts_f <= np.asarray(ts_c)[:, -1:] + 1e-5)
+
+    # Reference mixture CDF from the same coarse weights (XLA path).
+    pos = o[:, None, :] + d[:, None, :] * ts_c[..., None]
+    sigma, _ = density_fn(params, pos, CFG)
+    d_norm = jnp.linalg.norm(d, axis=-1)
+    _, _, _, w = _composite(sigma, jnp.zeros(sigma.shape + (3,)), ts_c,
+                            d_norm, 1e-4)
+    mix = 0.25
+    w_def = np.asarray(w) + (mix / (1 - mix)) * np.asarray(w).mean(
+        axis=1, keepdims=True
+    ) + 1e-8
+    p_ref = w_def / w_def.sum(axis=1, keepdims=True)
+    mids = 0.5 * (np.asarray(ts_c)[:, 1:] + np.asarray(ts_c)[:, :-1])
+    edges = np.concatenate(
+        [np.asarray(ts_c)[:, :1], mids, np.asarray(ts_c)[:, -1:]], axis=1
+    )
+    # Aggregate over all rays: empirical bin mass vs expected (n_draw * R
+    # samples -> tight CLT bounds at the 0.03 level).
+    emp = np.zeros(S_c)
+    exp_mass = p_ref.mean(axis=0)
+    for r in range(R):
+        idx = np.clip(np.searchsorted(edges[r], ts_f[r]) - 1, 0, S_c - 1)
+        emp += np.bincount(idx, minlength=S_c)
+    emp /= emp.sum()
+    np.testing.assert_allclose(emp, exp_mass, atol=0.03)
