@@ -26,4 +26,32 @@ This package re-designs that pipeline TPU-first:
 
 __version__ = "0.1.0"
 
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (D2R_COMPILE_CACHE=0 disables).
+
+    First-compile latency dominates small runs (~90-120 s of a 5-min demo);
+    the cache round-trips on the axon TPU backend including pallas kernels
+    (measured 2.2 s -> 0.4 s warm). Must run before the first compile, hence
+    at package import. Default dir: ~/.cache/dream2real_tpu/xla."""
+    import os
+
+    if os.environ.get("D2R_COMPILE_CACHE", "1") != "1":
+        return
+    path = os.environ.get(
+        "D2R_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "dream2real_tpu", "xla"),
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimisation; never block import
+
+
+_enable_compilation_cache()
+
 from dream2real_tpu.cfg import Config  # noqa: F401

@@ -123,13 +123,15 @@ class ImaginationEngine:
         (dream2real.py:101-177)."""
         print("Building scene model...")
         intrinsics = self.cfg.intrinsics_matrix()
-        dataloader = D2RDataLoader(self.cfg)
-        rgbs, depths, raw_cam_poses = (
-            dataloader.load_rgbds() if raw_data is None else raw_data
-        )
-        self.out_scene_bound_masks = dataloader.remove_background(
-            intrinsics, self.scene_phys_bounds, use_cache=self.use_cache_dynamic_masks
-        )
+        with self.stage_timer.stage("data_load"):
+            dataloader = D2RDataLoader(self.cfg)
+            rgbs, depths, raw_cam_poses = (
+                dataloader.load_rgbds() if raw_data is None else raw_data
+            )
+            self.out_scene_bound_masks = dataloader.remove_background(
+                intrinsics, self.scene_phys_bounds,
+                use_cache=self.use_cache_dynamic_masks,
+            )
         self.depths_gt = np.stack(
             [np.asarray(depths[i]) for i in self.render_cam_pose_idx]
         )
@@ -262,6 +264,8 @@ class ImaginationEngine:
             )
 
         if self.lazy_phys_mods:
+            _lazy_t = self.stage_timer.stage("task_phys_models")
+            _lazy_t.__enter__()
             (
                 [bground_phys, movable_phys],
                 [bground_init_pose, movable_init_pose],
@@ -272,6 +276,7 @@ class ImaginationEngine:
                 use_phys_tsdf=self.use_phys_tsdf, use_vis_pcds=self.use_vis_pcds,
                 single_view_idx=self.single_view_idx,
             )
+            _lazy_t.__exit__(None, None, None)
 
         depths_np = np.asarray(self.scene_model.depths)
         with self.stage_timer.stage("task_nerfs"):
@@ -351,6 +356,8 @@ class ImaginationEngine:
 
         phys_check = None
         if self.use_phys and not self.use_cache_renders:
+            _pc_t = self.stage_timer.stage("phys_check_build")
+            _pc_t.__enter__()
             bg_phys = task_model.task_bground_obj.phys_model
             fg_phys = task_model.movable_obj.phys_model
             # Handles retained for robot motion planning in embodied runs
@@ -365,6 +372,7 @@ class ImaginationEngine:
                 self.sample_res,
                 disallow_regrasp=self.embodied,
             )
+            _pc_t.__exit__(None, None, None)
 
         if self.use_vis_pcds and not self.use_cache_goal_pose:
             from dream2real_tpu.pcd.renderer import PointCloudRenderer
@@ -437,6 +445,8 @@ class ImaginationEngine:
 
         if vis_cost_vol:
             try:
+                _art = self.stage_timer.stage("artifacts")
+                _art.__enter__()
                 from dream2real_tpu.vis.cost_volume import (
                     export_cost_volume,
                     export_multiverse,
@@ -454,6 +464,7 @@ class ImaginationEngine:
                         os.path.join(self.data_dir, "multiverse.png"),
                         bground_points=None if bg_h is None else bg_h.points,
                     )
+                _art.__exit__(None, None, None)
             except Exception as e:  # visualisation is best-effort
                 print("cost volume export skipped:", e)
 
