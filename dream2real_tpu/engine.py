@@ -395,6 +395,11 @@ class ImaginationEngine:
                     obj_aabb = (
                         tuple(pv.min(axis=0) - pad), tuple(pv.max(axis=0) + pad)
                     )
+                    # res//2 covers the projected object with margin on all
+                    # demo scenes; a worst-case-pose-exact adaptive bound was
+                    # measured LARGER (apparent size grows for candidates
+                    # toward the camera — which clipping wouldn't hurt, since
+                    # those score badly either way). Config fg_crop overrides.
                     fg_crop = int(self.cfg.raw.get("engine", {}).get("fg_crop", res // 2))
             clip_K = clip_view_intrinsics_like(
                 self.scene_model.intrinsics,
