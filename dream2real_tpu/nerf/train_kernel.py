@@ -613,7 +613,7 @@ def supports_training(cfg: NGPConfig) -> bool:
 
 def render_rays_train(
     params, cfg: NGPConfig, origins, dirs, settings, key=None,
-    block_rays: int = 1024, interpret: bool | None = None,
+    block_rays: int = 2048, interpret: bool | None = None,
 ):
     """Fused-kernel equivalent of render.render_rays for TRAINING batches
     (flat (R, 3) rays, full-field march box, hierarchical sampling).
