@@ -35,13 +35,27 @@ def _fused_score(
     thread: the D2H fetch + PNG encode of slab s overlaps slab s+1's device
     compute, so artifact saving no longer forces the slow unfused path.
     """
+    import time
+
     from dream2real_tpu.clip.scorer import build_captions
     from dream2real_tpu.parallel.imagine import make_imagine_and_score
+
+    perf = os.environ.get("D2R_PERF_LOG") == "1"
+    _t = time.time()
+
+    def _lap(tag):
+        nonlocal _t
+        if perf:
+            print(f"# fused_score {tag}: {time.time() - _t:.2f}s", flush=True)
+        _t = time.time()
 
     captions = build_captions(
         task_model.goal_caption, task_model.norm_captions, use_templates
     )
     txt = clip_scorer.text_embeddings(np.asarray(tokenizer(captions)))
+    if perf:
+        float(jnp.sum(jnp.asarray(txt).astype(jnp.float32)))
+    _lap("text embeddings")
     n_norm = 0 if task_model.norm_captions is None else len(task_model.norm_captions)
     cb = min(32, clip_scorer.batch_size)
     save_dir = renderer.out_render_path if save_renders else None
@@ -52,11 +66,17 @@ def _fused_score(
         crop_settings=renderer.crop_settings, intrinsics=renderer.intrinsics,
         row_chunk=renderer.row_chunk, return_renders=save_dir is not None,
     )
+    _lap("score_fn build")
     bg = renderer.render_background(
         jnp.asarray(render_poses[0]),
         None if depths_gt is None else depths_gt[0],
         None if movable_masks is None else movable_masks[0],
     )
+    if perf:  # sync via scalar reductions (big-array D2H is slow on axon)
+        for x in bg:
+            if hasattr(x, "shape"):
+                float(jnp.sum(x.astype(jnp.float32)))
+    _lap("bg render")
     T_WC = jnp.asarray(np.asarray(render_poses[0], np.float32))
     T_WO = jnp.asarray(np.asarray(T_WO_1, np.float32))
     poses = np.asarray(valid_poses, np.float32).reshape(-1, 4, 4)
@@ -105,6 +125,9 @@ def _fused_score(
         else:
             scores = result
         out[s : s + n] = np.asarray(scores)[:n]
+        if s == 0:
+            _lap("first slab (compile+run)")
+    _lap("remaining slabs")
     if writer is not None:
         for f in futures:
             f.result()  # surface writer-thread exceptions
