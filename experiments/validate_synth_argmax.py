@@ -1,24 +1,35 @@
-"""End-to-end argmax validation with a geometric oracle (no CLIP weights).
+"""End-to-end argmax validation against a ray-tracing oracle (no CLIP).
 
 VERDICT round-1 flagged that the compound effect of this framework's
 field-level divergences from the reference (frequency-MLP field, cold-start
 fg/bg, marching tets, crop rendering) on the ACTUAL output — the argmax
 pose — had only been tested with random CLIP weights. This script closes
 that gap hermetically: it runs the real pipeline (segmentation -> NeRF
-training -> task fg/bg fields -> combined crop renderer) on the synthetic
-shopping scene, then replaces only the CLIP similarity with a deterministic
-oracle — negative MSE against a ground-truth goal image rendered by the
-synthetic ray tracer with the red box physically placed on the green box.
-If the imagination stack is faithful, the argmax over oracle scores must
-land on the grid cell nearest the true goal placement.
+training -> task fg/bg fields -> combined crop renderer) on a synthetic
+scene, replaces only the CLIP similarity with a deterministic image metric
+(negative MSE against a goal image), and scores EVERY grid pose a second
+time with a perfect ray-traced render at its actual placement. The oracle
+argmax is the expected answer: "do NeRF renders rank poses the way perfect
+images would?" is exactly the imagination stack's output contract (and is
+robust to the TSDF-t1 offset between commanded grid poses and rendered
+placements — see the inline notes).
 
 Checks (hard-fails on violation):
-  1. field fidelity: PSNR of the combined render at the identity move vs
-     the synthetic ray tracer's view >= 22 dB;
-  2. argmax parity: the smoothed-argmax pose is the grid cell nearest the
-     true goal placement (|dx|,|dy| <= half a grid cell, z = exact level).
+  1. field fidelity: identity-move combined render vs the ray tracer
+     >= 22 dB PSNR (relevant objects only, black background — the task
+     bground masks out table + distractors by design);
+  2. argmax parity: raw NeRF argmax == oracle argmax exactly (grid-index
+     comparison, covers orientation axes); smoothed argmax within one
+     translation cell with exact orientation; rank corr >= 0.8 over the
+     competitive (top-5%) region.
 
-Run (real TPU, ~3-6 min): python experiments/validate_synth_argmax.py
+Modes: default = translation grid on the standard scene; --rect = 6-DoF
+grid with a yaw {0, 90 deg} axis on the rectangular-footprint scene
+(orientation observable). First positional arg = data dir (artifacts are
+cached per stage and replayed when present).
+
+Run (real TPU; ~15 min fresh, ~8 min cached):
+  python experiments/validate_synth_argmax.py [dir] [--rect]
 """
 
 from __future__ import annotations
