@@ -238,6 +238,15 @@ def optimise_pose_grid(
                 save_renders=save_renders,
             )
             renders = None
+        elif use_vis_pcds:
+            # Point-cloud ablation renderer signature (clip_scoring.py:131).
+            print(f"Rendering {len(valid_poses)} imagined scenes (pcd)...")
+            renders = np.stack(
+                renderer.render(
+                    render_poses[0], valid_poses, task_model,
+                    hide_movable=False,
+                )
+            )
         else:
             print(f"Rendering {len(valid_poses)} imagined scenes...")
             renders = renderer.render(

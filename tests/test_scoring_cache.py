@@ -115,3 +115,52 @@ def test_physics_only_baseline(tmp_path):
     # The chosen pose is one of the valid ones.
     valid_poses = batch.reshape(-1, 4, 4)[[2, 4, 7]]
     assert any(np.allclose(best, p) for p in valid_poses)
+
+
+def test_pcd_renderer_dispatch(tmp_path):
+    """use_vis_pcds routes the unfused branch through the PointCloudRenderer
+    signature (reference clip_scoring.py:131): render(render_pose, poses,
+    task_model, hide_movable=False) -> list of images."""
+    from dream2real_tpu.pcd.renderer import PointCloudRenderer
+    from dream2real_tpu.pcd.visual_model import PointCloud
+
+    tm = _TM()
+    tm.movable_obj = _Movable()
+    tm.movable_obj.vis_model = PointCloud(
+        points=np.array([[0.5, 0.0, 0.05]], np.float32),
+        colors=np.array([[200, 30, 30]], np.uint8),
+    )
+    tm.task_bground_obj = _TaskBg()
+    tm.task_bground_obj.vis_model = PointCloud(
+        points=np.array([[0.45, 0.0, 0.0]], np.float32),
+        colors=np.array([[30, 200, 30]], np.uint8),
+    )
+    cam = np.eye(4, dtype=np.float32)
+    cam[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)
+    cam[:3, 3] = (0.5, 0.0, 0.8)
+    tm.scene_model = _Scene()
+    tm.scene_model.opt_cam_poses = [cam]
+
+    class _Clip:
+        # duck-typed: only .score is needed on the unfused path (no .params
+        # attribute -> the fused gate stays off)
+        def score(self, renders, goal, norms, tok, use_templates=False):
+            renders = np.asarray(renders)
+            assert renders.ndim == 4 and renders.shape[-1] == 3
+            return np.linspace(0.2, 1.0, len(renders)).astype(np.float32)
+
+    best, batch, scores = optimise_pose_grid(
+        PointCloudRenderer(),
+        None,
+        [0],
+        tm,
+        str(tmp_path),
+        sample_res=[3, 3, 1, 1, 1, 1],
+        use_vis_pcds=True,
+        smoothing=False,
+        clip_scorer=_Clip(),
+        tokenizer=_tok,
+        save_renders=False,
+    )
+    assert best.shape == (4, 4)
+    assert (scores > 0).sum() == 9  # all poses scored
