@@ -149,8 +149,10 @@ def _mlp_block(x, blk, dtype=jnp.bfloat16):
     return (h + blk["fc2"]["b"]).astype(dtype)
 
 
-def _block(x, blk, n_heads, mask=None, dtype=jnp.bfloat16):
-    x = x + _attn(_ln(x, blk["ln1_g"], blk["ln1_b"]), blk, n_heads, mask, dtype)
+def _block(x, blk, n_heads, mask=None, dtype=jnp.bfloat16, causal=False):
+    x = x + _attn(
+        _ln(x, blk["ln1_g"], blk["ln1_b"]), blk, n_heads, mask, dtype, causal
+    )
     x = x + _mlp_block(_ln(x, blk["ln2_g"], blk["ln2_b"]), blk, dtype)
     return x
 
@@ -217,10 +219,13 @@ def encode_text(params, cfg: CLIPConfig, ids: jnp.ndarray, dtype=jnp.bfloat16) -
     B, T = ids.shape
     x = params["t_tok_emb"][ids].astype(dtype)
     x = x + params["t_pos_emb"][:T].astype(dtype)
-    causal = jnp.full((T, T), -jnp.inf, jnp.float32)
-    causal = jnp.triu(causal, k=1)[None, None]
+    # causal=True (not an explicit additive mask) so the fused pallas causal
+    # attention path in _attn stays reachable; the XLA fallback builds the
+    # same upper-triangular mask itself.
     for i in range(cfg.text_layers):
-        x = _block(x, params[f"t_blk{i}"], cfg.text_heads, mask=causal, dtype=dtype)
+        x = _block(
+            x, params[f"t_blk{i}"], cfg.text_heads, dtype=dtype, causal=True
+        )
     x = _ln(x, params["t_ln_final_g"], params["t_ln_final_b"])
     eot = jnp.argmax((ids == cfg.eot_id).astype(jnp.int32), axis=-1)
     x = x[jnp.arange(B), eot]

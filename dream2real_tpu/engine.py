@@ -264,19 +264,19 @@ class ImaginationEngine:
             )
 
         if self.lazy_phys_mods:
-            _lazy_t = self.stage_timer.stage("task_phys_models")
-            _lazy_t.__enter__()
-            (
-                [bground_phys, movable_phys],
-                [bground_init_pose, movable_init_pose],
-            ) = TaskModel.create_lazy_phys_mods(
-                self.scene_model, movable_obj, self.scene_phys_bounds,
-                save_dir=os.path.join(self.data_dir, "phys_mod/"),
-                embodied=self.embodied, vis=False, use_cache=self.use_cache_phys,
-                use_phys_tsdf=self.use_phys_tsdf, use_vis_pcds=self.use_vis_pcds,
-                single_view_idx=self.single_view_idx,
-            )
-            _lazy_t.__exit__(None, None, None)
+            with self.stage_timer.stage("task_phys_models"):
+                (
+                    [bground_phys, movable_phys],
+                    [bground_init_pose, movable_init_pose],
+                ) = TaskModel.create_lazy_phys_mods(
+                    self.scene_model, movable_obj, self.scene_phys_bounds,
+                    save_dir=os.path.join(self.data_dir, "phys_mod/"),
+                    embodied=self.embodied, vis=False,
+                    use_cache=self.use_cache_phys,
+                    use_phys_tsdf=self.use_phys_tsdf,
+                    use_vis_pcds=self.use_vis_pcds,
+                    single_view_idx=self.single_view_idx,
+                )
 
         depths_np = np.asarray(self.scene_model.depths)
         with self.stage_timer.stage("task_nerfs"):
@@ -356,23 +356,21 @@ class ImaginationEngine:
 
         phys_check = None
         if self.use_phys and not self.use_cache_renders:
-            _pc_t = self.stage_timer.stage("phys_check_build")
-            _pc_t.__enter__()
-            bg_phys = task_model.task_bground_obj.phys_model
-            fg_phys = task_model.movable_obj.phys_model
-            # Handles retained for robot motion planning in embodied runs
-            # (dream2real.py:317-318 parity).
-            self.static_phys_handles = [bg_phys]
-            self.movable_phys_handle = fg_phys
-            phys_check = make_unsupcol_check(
-                bg_phys.tsdf,
-                fg_phys.points,
-                movable_init_pose,
-                self.scene_centre,
-                self.sample_res,
-                disallow_regrasp=self.embodied,
-            )
-            _pc_t.__exit__(None, None, None)
+            with self.stage_timer.stage("phys_check_build"):
+                bg_phys = task_model.task_bground_obj.phys_model
+                fg_phys = task_model.movable_obj.phys_model
+                # Handles retained for robot motion planning in embodied runs
+                # (dream2real.py:317-318 parity).
+                self.static_phys_handles = [bg_phys]
+                self.movable_phys_handle = fg_phys
+                phys_check = make_unsupcol_check(
+                    bg_phys.tsdf,
+                    fg_phys.points,
+                    movable_init_pose,
+                    self.scene_centre,
+                    self.sample_res,
+                    disallow_regrasp=self.embodied,
+                )
 
         if self.use_vis_pcds and not self.use_cache_goal_pose:
             from dream2real_tpu.pcd.renderer import PointCloudRenderer
@@ -450,26 +448,25 @@ class ImaginationEngine:
 
         if vis_cost_vol:
             try:
-                _art = self.stage_timer.stage("artifacts")
-                _art.__enter__()
-                from dream2real_tpu.vis.cost_volume import (
-                    export_cost_volume,
-                    export_multiverse,
-                )
-
-                export_cost_volume(
-                    pose_scores, self.sample_res, pose_batch,
-                    os.path.join(self.data_dir, "cost_volume.png"),
-                )
-                fg_h = task_model.movable_obj.phys_model
-                bg_h = task_model.task_bground_obj.phys_model
-                if fg_h is not None and getattr(fg_h, "points", None) is not None:
-                    export_multiverse(
-                        pose_scores, pose_batch, fg_h.points, movable_init_pose,
-                        os.path.join(self.data_dir, "multiverse.png"),
-                        bground_points=None if bg_h is None else bg_h.points,
+                with self.stage_timer.stage("artifacts"):
+                    from dream2real_tpu.vis.cost_volume import (
+                        export_cost_volume,
+                        export_multiverse,
                     )
-                _art.__exit__(None, None, None)
+
+                    export_cost_volume(
+                        pose_scores, self.sample_res, pose_batch,
+                        os.path.join(self.data_dir, "cost_volume.png"),
+                    )
+                    fg_h = task_model.movable_obj.phys_model
+                    bg_h = task_model.task_bground_obj.phys_model
+                    if fg_h is not None and getattr(fg_h, "points", None) is not None:
+                        export_multiverse(
+                            pose_scores, pose_batch, fg_h.points,
+                            movable_init_pose,
+                            os.path.join(self.data_dir, "multiverse.png"),
+                            bground_points=None if bg_h is None else bg_h.points,
+                        )
             except Exception as e:  # visualisation is best-effort
                 print("cost volume export skipped:", e)
 

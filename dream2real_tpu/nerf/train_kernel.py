@@ -618,11 +618,16 @@ def render_rays_train(
     """Fused-kernel equivalent of render.render_rays for TRAINING batches
     (flat (R, 3) rays, full-field march box, hierarchical sampling).
 
-    Sampling math (jittered coarse ts, stop-gradient inverse-CDF fine
-    resampling, sorted union) is identical to render.render_rays:150-178 —
-    it stays in XLA (cheap VPU work); only the field evaluations move into
-    the pallas kernels. Returns dict rgb/alpha/depth (no per-sample
-    weights/ts: the training loss doesn't consume them).
+    Sampling math: with D2R_FUSED_SAMPLER=0 the XLA path (jittered coarse
+    ts, stop-gradient inverse-CDF fine resampling, sorted union) is
+    identical to render.render_rays:150-178; only the field evaluations
+    move into the pallas kernels. The DEFAULT path (D2R_FUSED_SAMPLER=1)
+    instead runs the in-kernel defensive-mixture sampler, which draws nc+nf
+    fine positions from a 0.5-uniform-mixed CDF and discards the coarse
+    union — a deliberately different sample distribution (rationale and
+    quality gates in the comment block below / PERF.md). Returns dict
+    rgb/alpha/depth (no per-sample weights/ts: the training loss doesn't
+    consume them).
     """
     from dream2real_tpu.nerf.render import ray_aabb, sample_pdf
 

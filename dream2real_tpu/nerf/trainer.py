@@ -149,6 +149,21 @@ def make_train_chunk(
     """
     n_img, h, w = images_rgba.shape[:3]
 
+    if tc.optimize_extrinsics and _use_train_kernel(cfg):
+        # The fused kernel's VJP returns only the dominant gradient term wrt
+        # origins/dirs (drops the |d| scale, SH-basis and ray-aabb-ts paths —
+        # see train_kernel.py module docstring). Pose refinement still
+        # converges in practice, but flag it once so real-scan runs know the
+        # extrinsics gradients are approximate (exact: D2R_PALLAS_TRAIN=0).
+        import warnings
+
+        warnings.warn(
+            "optimize_extrinsics with the fused pallas training kernel uses "
+            "approximate ray-origin/direction gradients; set "
+            "D2R_PALLAS_TRAIN=0 for exact autodiff extrinsics gradients.",
+            stacklevel=2,
+        )
+
     def sample_batch(key):
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         img_idx = jax.random.randint(k1, (tc.batch_rays,), 0, n_img)
