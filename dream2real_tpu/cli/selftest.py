@@ -1,10 +1,18 @@
 """End-to-end NGP selftest on the current default JAX platform.
 
 Usage: python -m dream2real_tpu.cli.selftest [--small] [--views N] [--steps N]
+       python -m dream2real_tpu.cli.selftest --clip-load-dryrun
 
 Trains the flagship MLP field on the analytic synthetic tabletop scene and
 reports steps/s, render latency, PSNR and depth error. This is the standing
 verification drive for the NeRF backend (see .claude/skills/verify/SKILL.md).
+
+--clip-load-dryrun instead exercises the production CLIP checkpoint load
+path (clip_scoring.py:150-151 parity): it writes a random-weight checkpoint
+with the REAL openai/clip-vit-large-patch14-336 tensor names/shapes/file
+layout, loads it through `load_clip()` (the same code a robot host runs on
+the actual download), and scores one full-size 336x336 image on the device.
+After this, the only untested step for real scoring is the weight values.
 """
 
 from __future__ import annotations
@@ -17,15 +25,77 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def clip_load_dryrun(ckpt_dir: str | None = None) -> int:
+    import os
+    import shutil
+    import tempfile
+
+    from dream2real_tpu.clip.convert import load_clip, write_random_hf_checkpoint
+    from dream2real_tpu.clip.model import (
+        encode_image,
+        encode_text,
+        logits_per_image,
+        preprocess_images,
+    )
+
+    cleanup = ckpt_dir is None
+    if ckpt_dir is None:
+        ckpt_dir = tempfile.mkdtemp(prefix="d2r_clip_dryrun_")
+    try:
+        if not os.path.isfile(os.path.join(ckpt_dir, "model.safetensors")):
+            t0 = time.time()
+            write_random_hf_checkpoint(ckpt_dir)
+            print(f"wrote full-layout checkpoint in {time.time()-t0:.1f}s "
+                  f"({ckpt_dir})", flush=True)
+        t0 = time.time()
+        os.environ["D2R_CLIP_PATH"] = ckpt_dir
+        params, cfg = load_clip()
+        print(f"load_clip: {time.time()-t0:.1f}s; vision {cfg.vision_layers}L/"
+              f"{cfg.vision_width}w, text {cfg.text_layers}L/{cfg.text_width}w,"
+              f" image {cfg.image_size}px", flush=True)
+        assert cfg.image_size == 336 and cfg.vision_layers == 24
+
+        img = jnp.zeros((1, 336, 336, 3), jnp.uint8)
+        ids = np.zeros((2, 77), np.int32)
+        ids[:, 0] = 49406
+        ids[0, 1:3] = [320, 49407]
+        ids[1, 1:4] = [320, 525, 49407]
+        f = jax.jit(
+            lambda p, im, i: logits_per_image(
+                p,
+                encode_image(p, cfg, preprocess_images(im, cfg)),
+                encode_text(p, cfg, i),
+            )
+        )
+        t0 = time.time()
+        lg = np.asarray(f(params, img, jnp.asarray(ids)), np.float32)
+        print(f"336px scoring forward (compile+run): {time.time()-t0:.1f}s; "
+              f"logits {lg.ravel()}", flush=True)
+        ok = lg.shape == (1, 2) and np.isfinite(lg).all()
+        print("CLIP LOAD DRYRUN", "PASS" if ok else "FAIL", flush=True)
+        return 0 if ok else 1
+    finally:
+        if cleanup:
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="64x64, fewer steps")
     ap.add_argument("--views", type=int, default=36)
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--out", type=str, default="/tmp/d2r_selftest")
+    ap.add_argument(
+        "--clip-load-dryrun", action="store_true",
+        help="full-layout ViT-L/14-336 checkpoint load + one 336px forward",
+    )
+    ap.add_argument("--clip-ckpt-dir", type=str, default=None)
     args = ap.parse_args()
 
     print("devices:", jax.devices(), flush=True)
+
+    if args.clip_load_dryrun:
+        return clip_load_dryrun(args.clip_ckpt_dir)
 
     from dream2real_tpu.data import synth
     from dream2real_tpu.nerf.model import NGPConfig

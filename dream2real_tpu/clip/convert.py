@@ -98,6 +98,59 @@ def params_from_hf_state_dict(sd: dict, cfg: CLIPConfig) -> dict[str, Any]:
     return p
 
 
+def vit_l_336_hf_config():
+    """The REAL openai/clip-vit-large-patch14-336 architecture as a
+    transformers CLIPConfig (clip_scoring.py:150-151's checkpoint). Built
+    locally — no network access."""
+    import transformers
+
+    return transformers.CLIPConfig(
+        projection_dim=768,
+        text_config_dict=dict(
+            hidden_size=768, intermediate_size=3072, num_hidden_layers=12,
+            num_attention_heads=12, max_position_embeddings=77,
+            vocab_size=49408, hidden_act="quick_gelu", eos_token_id=49407,
+        ),
+        vision_config_dict=dict(
+            hidden_size=1024, intermediate_size=4096, num_hidden_layers=24,
+            num_attention_heads=16, image_size=336, patch_size=14,
+            hidden_act="quick_gelu",
+        ),
+    )
+
+
+def write_random_hf_checkpoint(out_dir: str, hf_config=None, seed: int = 0) -> str:
+    """Write a random-weight HF CLIP checkpoint with the REAL tensor
+    names/shapes/file layout (config.json + model.safetensors), so
+    `load_clip` can be dry-run exactly as it would consume the production
+    openai/clip-vit-large-patch14-336 download. Shapes are taken from a
+    meta-device CLIPModel instantiation (no full-size torch init needed);
+    values are N(0, 0.02) — valid for exercising the load path, useless for
+    scoring. Returns out_dir."""
+    import os
+
+    import torch
+    import transformers
+    from safetensors.torch import save_file
+
+    if hf_config is None:
+        hf_config = vit_l_336_hf_config()
+    with torch.device("meta"):
+        shapes = {
+            k: tuple(v.shape)
+            for k, v in transformers.CLIPModel(hf_config).state_dict().items()
+        }
+    rng = np.random.default_rng(seed)
+    sd = {
+        k: torch.from_numpy(rng.normal(0.0, 0.02, s).astype(np.float32))
+        for k, s in shapes.items()
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    hf_config.save_pretrained(out_dir)
+    save_file(sd, os.path.join(out_dir, "model.safetensors"))
+    return out_dir
+
+
 def load_clip(path_or_model=None) -> tuple[dict, CLIPConfig]:
     """Load CLIP weights from a local HF checkpoint dir / CLIPModel instance.
 

@@ -64,6 +64,7 @@ def get_phys_models(
     single_view_idx: int = 0,
     voxel_size: float = 0.004,
     max_points: int = 4096,
+    pcd_mask_erosion: int = 15,
 ):
     """Build physics models for objects 0..num_objs-1 (0 = background).
 
@@ -105,6 +106,13 @@ def get_phys_models(
             return handles, init_poses
 
     print("Creating physics models...")
+    if not use_phys_tsdf:
+        return _get_phys_models_pcd(
+            np.asarray(depths), np.asarray(poses_arr), np.asarray(K),
+            masks_np, num_objs, scene_bounds, save_dir, max_points,
+            mask_erosion=pcd_mask_erosion,
+        )
+
     if use_vis_pcds:
         frame_sel = np.asarray([single_view_idx] * 4)  # physics_utils.py:64-65
         depths_used = depths[frame_sel]
@@ -158,6 +166,135 @@ def get_phys_models(
                 points=pts,
             )
         handles.append(PhysModel(mesh_path, grid, pts))
+        init_poses.append(init_pose)
+
+    print("Physics models created.")
+    return handles, init_poses
+
+
+def _pad_points(pts: np.ndarray, max_points: int) -> np.ndarray:
+    """(N, 3) -> (max_points, 4) [x, y, z, valid], stride-downsampled /
+    zero-padded (fixed-size so the collision check stays static-shaped)."""
+    out = np.zeros((max_points, 4), np.float32)
+    n = len(pts)
+    if n == 0:
+        return out
+    if n > max_points:
+        sel = (np.arange(max_points) * (n / max_points)).astype(int)
+        pts = pts[sel]
+        n = max_points
+    out[:n, :3] = pts
+    out[:n, 3] = 1.0
+    return out
+
+
+def _get_phys_models_pcd(
+    depths, cam_poses, K, masks, num_objs, scene_bounds, save_dir, max_points,
+    mask_erosion: int = 15,
+):
+    """The ``use_phys_tsdf=False`` path (physics_utils.py:121-167 + 381-401):
+    per-object point cloud -> statistical outlier removal -> Poisson
+    indicator grid (mesh artifact + collision SDF). Artifacts: obj_{i}.pcd,
+    mesh_concave_{i}.obj / mesh_{i}.obj, init_pose_{i}.txt, tsdf_{i}.npz
+    (the indicator grid, so cached replay is path-identical to the TSDF
+    branch)."""
+    import cv2
+
+    from dream2real_tpu.physics import mesh as mesh_ops
+    from dream2real_tpu.physics.poisson import (
+        oriented_normals,
+        poisson_indicator,
+        poisson_mesh,
+        remove_statistical_outliers,
+        write_pcd,
+    )
+
+    lo = np.asarray(scene_bounds[0], np.float32)
+    hi = np.asarray(scene_bounds[1], np.float32)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    # physics_utils.py:129-131 (15 px at reference resolution; parameterised
+    # so low-res tests/synth scenes don't erode small objects away entirely).
+    kernel = np.ones((mask_erosion, mask_erosion), np.uint8)
+
+    handles, init_poses = [], []
+    for obj_id in range(num_objs):
+        all_pts, all_views = [], []
+        for frame_id in range(len(depths)):
+            mask = (masks[frame_id] == obj_id).astype(np.uint8)
+            mask = cv2.erode(mask, kernel, iterations=1).astype(bool)
+            depth = np.asarray(depths[frame_id])
+            vs, us = np.nonzero(mask & (depth > 0))
+            if len(vs) == 0:
+                continue
+            z = depth[vs, us]
+            cam = np.stack(
+                [(us - cx) / fx * z, (vs - cy) / fy * z, z], axis=-1
+            )
+            T = np.asarray(cam_poses[frame_id])
+            pts = (cam @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+            inb = ((pts >= lo) & (pts <= hi)).all(axis=1)  # crop_bbox crop
+            pts = pts[inb]
+            # 2 mm per-frame voxel downsample (frame_voxel_size).
+            key = np.floor(pts / 0.002).astype(np.int64)
+            _, idx = np.unique(key, axis=0, return_index=True)
+            all_pts.append(pts[idx])
+            all_views.append(
+                np.broadcast_to(T[:3, 3].astype(np.float32), pts[idx].shape)
+            )
+        pts = (
+            np.concatenate(all_pts)
+            if all_pts
+            else np.zeros((0, 3), np.float32)
+        )
+        views = (
+            np.concatenate(all_views)
+            if all_views
+            else np.zeros((0, 3), np.float32)
+        )
+
+        if len(pts):
+            inl = remove_statistical_outliers(pts)  # 30 nbrs / 1.05 std
+            pts, views = pts[inl], views[inl]
+            # obj_voxel_size downsample after outlier removal.
+            key = np.floor(pts / 0.002).astype(np.int64)
+            _, idx = np.unique(key, axis=0, return_index=True)
+            pts, views = pts[idx], views[idx]
+
+        init_pose = np.eye(4, dtype=np.float32)
+        if len(pts):
+            init_pose[:3, 3] = pts.mean(axis=0)  # pcd.get_center()
+            normals = oriented_normals(pts, views)
+            grid = poisson_indicator(pts, normals)
+            verts, faces = poisson_mesh(grid, pts)
+        else:
+            grid = TSDFGrid(
+                tsdf=jnp.ones((8, 8, 8), jnp.float32),
+                weight=jnp.zeros((8, 8, 8), jnp.float32),
+                origin=jnp.asarray(lo),
+                voxel_size=0.004,
+            )
+            verts = np.zeros((0, 3), np.float32)
+            faces = np.zeros((0, 3), np.int32)
+
+        pcd_pts = _pad_points(pts, max_points if obj_id else max_points * 4)
+
+        mesh_path = None
+        if save_dir is not None:
+            write_pcd(os.path.join(save_dir, f"obj_{obj_id}.pcd"), pts)
+            concave = os.path.join(save_dir, f"mesh_concave_{obj_id}.obj")
+            mesh_ops.save_obj(concave, verts, faces)
+            mesh_path = os.path.join(save_dir, f"mesh_{obj_id}.obj")
+            shutil.copyfile(concave, mesh_path)
+            np.savetxt(os.path.join(save_dir, f"init_pose_{obj_id}.txt"), init_pose)
+            np.savez(
+                os.path.join(save_dir, f"tsdf_{obj_id}.npz"),
+                tsdf=np.asarray(grid.tsdf),
+                weight=np.asarray(grid.weight),
+                origin=np.asarray(grid.origin),
+                voxel_size=grid.voxel_size,
+                points=pcd_pts,
+            )
+        handles.append(PhysModel(mesh_path, grid, pcd_pts))
         init_poses.append(init_pose)
 
     print("Physics models created.")

@@ -218,3 +218,96 @@ def test_unsupcol_check_semantics(fused_scene):
     assert not valid[2], "pose inside another object should collide"
     assert valid[3], "free table spot should be valid"
     assert valid[4], "stacked on the green box should be valid"
+
+
+def test_statistical_outlier_removal():
+    from dream2real_tpu.physics.poisson import remove_statistical_outliers
+
+    rng = np.random.default_rng(0)
+    dense = rng.uniform(0, 0.05, (500, 3)).astype(np.float32)
+    outliers = np.array([[1.0, 1.0, 1.0], [-0.8, 0.3, 2.0]], np.float32)
+    pts = np.concatenate([dense, outliers])
+    inl = remove_statistical_outliers(pts)
+    assert not inl[-1] and not inl[-2], "distant points must be rejected"
+    assert inl[:500].mean() > 0.9, "bulk of the dense cloud must be kept"
+
+
+def test_poisson_indicator_sphere():
+    """Indicator grid must be negative inside / positive outside a sampled
+    sphere, and the mesh it yields must sit near the true surface."""
+    from dream2real_tpu.physics.poisson import poisson_indicator, poisson_mesh
+
+    rng = np.random.default_rng(1)
+    n = 4000
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    centre = np.array([0.5, 0.0, 0.1], np.float32)
+    r = 0.06
+    pts = (centre + r * dirs).astype(np.float32)
+    grid = poisson_indicator(pts, dirs.astype(np.float32))
+
+    # Grid spans centre +- ~0.09 (radius + 25% pad); outside probes must
+    # stay in-grid since out-of-grid sampling returns 0.
+    q = np.stack([centre,                       # inside
+                  centre + [0.0, 0.0, 0.082],   # outside, in-grid
+                  centre + [0.082, 0.0, 0.0]])  # outside, in-grid
+    vals = np.asarray(
+        sample_occupancy(grid.tsdf, grid.origin, grid.voxel_size, jnp.asarray(q))
+    )
+    assert vals[0] < 0, f"centre should be inside, tsdf={vals[0]}"
+    assert vals[1] > 0 and vals[2] > 0, f"outside should be positive: {vals}"
+
+    verts, faces = poisson_mesh(grid, pts)
+    assert len(verts) > 50 and len(faces) > 50
+    err = np.abs(np.linalg.norm(verts - centre, axis=1) - r)
+    assert np.median(err) < 0.01, f"median surface error {np.median(err):.4f}"
+
+
+def test_phys_models_pcd_path(fused_scene, tmp_path):
+    """use_phys_tsdf=False (physics_utils.py:121-167): pcd + Poisson models
+    must produce artifacts, sane init poses, and a collision grid that the
+    validity check consumes; cached replay must round-trip."""
+    from dream2real_tpu.physics.models import get_phys_models
+
+    d = fused_scene
+    save_dir = str(tmp_path / "phys")
+    handles, init_poses = get_phys_models(
+        d["depths"], list(np.asarray(d["poses"])), np.asarray(d["K"]),
+        d["insts"], num_objs=2, scene_bounds=d["bounds"],
+        save_dir=save_dir, use_cache=False, use_phys_tsdf=False,
+        max_points=512, pcd_mask_erosion=3,
+    )
+    assert len(handles) == 2 and len(init_poses) == 2
+    import os
+    for i in range(2):
+        for name in (f"obj_{i}.pcd", f"mesh_concave_{i}.obj",
+                     f"mesh_{i}.obj", f"init_pose_{i}.txt", f"tsdf_{i}.npz"):
+            assert os.path.exists(os.path.join(save_dir, name)), name
+
+    # Red movable box at (0.46, -0.08), z span 0..0.10. The pcd centre is
+    # the mean of VISIBLE surface points (top-biased, like the reference's
+    # pcd.get_center()), so z sits above the volumetric centre.
+    c = init_poses[1][:3, 3]
+    assert np.allclose(c[:2], [0.46, -0.08], atol=0.02), c
+    assert 0.03 < c[2] < 0.1, c
+    g1 = handles[1].tsdf
+    inside = np.asarray(
+        sample_occupancy(g1.tsdf, g1.origin, g1.voxel_size, jnp.asarray(c[None]))
+    )[0]
+    assert inside < 0, f"object centre should be inside its model, {inside}"
+    pts = handles[1].points
+    assert pts.shape == (512, 4) and pts[:, 3].sum() > 0
+
+    # Cached replay round-trips grids and points.
+    handles2, init_poses2 = get_phys_models(
+        d["depths"], list(np.asarray(d["poses"])), np.asarray(d["K"]),
+        d["insts"], num_objs=2, scene_bounds=d["bounds"],
+        save_dir=save_dir, use_cache=True, use_phys_tsdf=False,
+        max_points=512, pcd_mask_erosion=3,
+    )
+    np.testing.assert_allclose(init_poses2[1], init_poses[1], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(handles2[1].tsdf.tsdf), np.asarray(handles[1].tsdf.tsdf),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(handles2[1].points, pts, atol=1e-6)
