@@ -31,12 +31,22 @@ from dream2real_tpu.perception.captioner import Captioner
 from dream2real_tpu.perception.segmentation import Segmentor
 from dream2real_tpu.physics.collision import make_unsupcol_check
 from dream2real_tpu.reconstruction import build_vis_model
+from dream2real_tpu.sampling import get_virtual_cam_poses
 from dream2real_tpu.scene_model import ObjectModel, SceneModel, TaskModel
 from dream2real_tpu.scoring import optimise_pose_grid
 from dream2real_tpu.ops.cameras import clip_view_intrinsics_like
 from dream2real_tpu.utils.profiling import StageTimer, trace
 
 _CURR_DIR = pathlib.Path(__file__).parent.absolute()
+
+
+def _aabb_equal(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    return bool(
+        np.allclose(np.asarray(a[0]), np.asarray(b[0]))
+        and np.allclose(np.asarray(a[1]), np.asarray(b[1]))
+    )
 
 
 class ImaginationEngine:
@@ -108,6 +118,12 @@ class ImaginationEngine:
         self.clip_loader = clip_loader
         self._clip_scorer = None
         self._tokenizer = None
+        # _get_clip may be entered concurrently by the scoring-prefetch
+        # thread (prefetch.py) and the main thread.
+        import threading
+
+        self._clip_lock = threading.Lock()
+        self._score_prefetch = None
 
         assert cfg.scene_centre is not None
         assert cfg.scene_phys_bounds is not None
@@ -278,6 +294,64 @@ class ImaginationEngine:
                     single_view_idx=self.single_view_idx,
                 )
 
+        # Scoring-setup prefetch: warm the CLIP/renderer/score-program/physics
+        # jit caches in a background thread while task-NeRF training owns the
+        # device timeline (see prefetch.py). Best-effort — dream_best_pose
+        # verifies every prediction before reusing.
+        self._score_prefetch = None
+        fresh_run = not (self.use_cache_goal_pose or self.use_cache_renders)
+        want_scoring = (
+            fresh_run
+            and not self.use_vis_pcds
+            and not self.physics_only
+            and len(self.render_cam_pose_idx) == 1
+            and self.depths_gt is not None
+        )
+        want_phys = (
+            fresh_run and self.use_phys and self.lazy_phys_mods
+            and movable_init_pose is not None
+        )
+        if (want_scoring or want_phys) and os.environ.get("D2R_PREFETCH", "1") != "0":
+            from dream2real_tpu.prefetch import start_scoring_prefetch
+
+            res = getattr(self.cfg, "render_res", 336)
+            clip_K = clip_view_intrinsics_like(
+                self.scene_model.intrinsics,
+                (self.cfg.height, self.cfg.width), res=res,
+            )
+            fg_phys_h = (
+                movable_phys if self.lazy_phys_mods else movable_obj.phys_model
+            )
+            obj_aabb, fg_crop = self._movable_crop(fg_phys_h, res)
+            phys_spec = None
+            if want_phys:
+                phys_spec = dict(
+                    bg_phys=bground_phys, fg_phys=movable_phys,
+                    init_pose=np.asarray(movable_init_pose),
+                    scene_centre=self.scene_centre, sample_res=self.sample_res,
+                    scene_type=self.scene_type,
+                    bounds_override=self.sample_bounds, embodied=self.embodied,
+                )
+            self._score_prefetch = start_scoring_prefetch(
+                self._get_clip,
+                goal_caption, norm_captions,
+                use_templates=False,
+                data_dir=self.data_dir,
+                scene_phys_bounds=self.scene_phys_bounds,
+                field_overrides=self.ngp_overrides.get("field"),
+                res=res,
+                clip_K=clip_K,
+                obj_aabb=obj_aabb,
+                fg_crop=fg_crop,
+                render_poses=get_virtual_cam_poses(
+                    self.scene_model.opt_cam_poses, self.render_cam_pose_idx
+                ),
+                depth_gt=None if self.depths_gt is None else self.depths_gt[0],
+                save_renders=getattr(self.cfg, "save_renders", True),
+                scoring=want_scoring,
+                phys=phys_spec,
+            )
+
         depths_np = np.asarray(self.scene_model.depths)
         with self.stage_timer.stage("task_nerfs"):
             movable_obj.vis_model = TaskModel.create_movable_vis_model(
@@ -316,6 +390,10 @@ class ImaginationEngine:
     # ------------------------------------------------------------------
 
     def _get_clip(self):
+        with self._clip_lock:
+            return self._get_clip_locked()
+
+    def _get_clip_locked(self):
         if self._clip_scorer is None:
             from dream2real_tpu.clip.scorer import ClipScorer
             from dream2real_tpu.clip.tokenizer import ClipTokenizer
@@ -350,9 +428,36 @@ class ImaginationEngine:
             )
         return self._clip_scorer, self._tokenizer
 
+    def _movable_crop(self, fg_phys_h, res: int):
+        """(obj_aabb, fg_crop) for the cropped fast path, from the movable's
+        collision shell. Deterministic from the phys handle + config, so the
+        scoring prefetch computes the identical values before training. The
+        fg_crop CLIPPING GUARD (grow the window if a candidate's projected
+        AABB exceeds it) runs over the physics-valid candidates — in the
+        prefetch thread when one is live (prefetch.py), else as the runtime
+        backstop in optimise_pose_grid."""
+        obj_aabb = None
+        fg_crop = 0
+        if fg_phys_h is not None and getattr(fg_phys_h, "points", None) is not None:
+            pts = fg_phys_h.points
+            pv = pts[pts[:, 3] > 0, :3]
+            if len(pv):
+                pad = 0.03
+                obj_aabb = (
+                    tuple(pv.min(axis=0) - pad), tuple(pv.max(axis=0) + pad)
+                )
+                # res//2 covers the projected object with margin on all
+                # demo scenes; a worst-case-pose-exact adaptive bound was
+                # measured LARGER (apparent size grows for candidates
+                # toward the camera — which clipping wouldn't hurt, since
+                # those score badly either way). Config fg_crop overrides.
+                fg_crop = int(self.cfg.raw.get("engine", {}).get("fg_crop", res // 2))
+        return obj_aabb, fg_crop
+
     def dream_best_pose(self, task_model, vis_cost_vol: bool = True):
         """Imagine + score candidate placements (dream2real.py:282-402)."""
         movable_init_pose = np.asarray(task_model.movable_obj.pose)
+        pf = self._score_prefetch.result() if self._score_prefetch else None
 
         phys_check = None
         if self.use_phys and not self.use_cache_renders:
@@ -363,14 +468,26 @@ class ImaginationEngine:
                 # (dream2real.py:317-318 parity).
                 self.static_phys_handles = [bg_phys]
                 self.movable_phys_handle = fg_phys
-                phys_check = make_unsupcol_check(
-                    bg_phys.tsdf,
-                    fg_phys.points,
-                    movable_init_pose,
-                    self.scene_centre,
-                    self.sample_res,
-                    disallow_regrasp=self.embodied,
-                )
+                if (
+                    pf is not None
+                    and pf.get("phys_check") is not None
+                    and pf.get("phys_bg") is bg_phys
+                    and pf.get("phys_fg") is fg_phys
+                    and np.array_equal(pf.get("phys_init_pose"), movable_init_pose)
+                ):
+                    phys_check = pf["phys_check"]
+                else:
+                    if pf is not None:  # stale physics prefetch: drop it
+                        pf = dict(pf)
+                        pf.pop("is_valid", None)
+                    phys_check = make_unsupcol_check(
+                        bg_phys.tsdf,
+                        fg_phys.points,
+                        movable_init_pose,
+                        self.scene_centre,
+                        self.sample_res,
+                        disallow_regrasp=self.embodied,
+                    )
 
         if self.use_vis_pcds and not self.use_cache_goal_pose:
             from dream2real_tpu.pcd.renderer import PointCloudRenderer
@@ -382,37 +499,59 @@ class ImaginationEngine:
             res = getattr(self.cfg, "render_res", 336)
             # Object AABB from the movable's collision shell -> cropped fast
             # path (fg marched only in its projected window).
-            fg_phys_h = task_model.movable_obj.phys_model
-            obj_aabb = None
-            fg_crop = 0
-            if fg_phys_h is not None and getattr(fg_phys_h, "points", None) is not None:
-                pts = fg_phys_h.points
-                pv = pts[pts[:, 3] > 0, :3]
-                if len(pv):
-                    pad = 0.03
-                    obj_aabb = (
-                        tuple(pv.min(axis=0) - pad), tuple(pv.max(axis=0) + pad)
-                    )
-                    # res//2 covers the projected object with margin on all
-                    # demo scenes; a worst-case-pose-exact adaptive bound was
-                    # measured LARGER (apparent size grows for candidates
-                    # toward the camera — which clipping wouldn't hurt, since
-                    # those score badly either way). Config fg_crop overrides.
-                    fg_crop = int(self.cfg.raw.get("engine", {}).get("fg_crop", res // 2))
             clip_K = clip_view_intrinsics_like(
                 self.scene_model.intrinsics,
                 (self.cfg.height, self.cfg.width),
                 res=res,
             )
-            self.renderer = CombinedRenderer(
-                fg.params, fg.cfg, bg.params, bg.cfg,
-                settings=fg.settings,
-                res=res,
-                intrinsics=clip_K,
-                out_render_path=os.path.join(self.data_dir, "cb_render"),
-                obj_aabb=obj_aabb,
-                fg_crop=fg_crop,
+            obj_aabb, fg_crop = self._movable_crop(
+                task_model.movable_obj.phys_model, res
             )
+            # Adopt the prefetch thread's clipping-guard bump: it was
+            # computed over the SAME physics-valid candidate set the runtime
+            # guard in optimise_pose_grid uses (contingent on the phys check
+            # itself having been adopted above), so the prefetched score
+            # program's window size is final and the warm-up survives.
+            if (
+                pf is not None
+                and pf.get("fg_crop")
+                and phys_check is not None
+                and phys_check is pf.get("phys_check")
+                and _aabb_equal(pf.get("obj_aabb"), obj_aabb)
+            ):
+                fg_crop = max(fg_crop, pf["fg_crop"])
+            pf_r = None if pf is None else pf.get("renderer")
+            if (
+                pf_r is not None
+                and pf_r.fg_cfg == fg.cfg
+                and pf_r.bg_cfg == bg.cfg
+                and pf_r.settings == fg.settings
+                and pf_r.res == res
+                and np.allclose(pf_r.intrinsics, clip_K)
+                and pf_r.fg_crop == min(fg_crop, res)
+                and _aabb_equal(pf_r.obj_aabb, obj_aabb)
+            ):
+                # The prefetched renderer was built with dummy params of
+                # these exact shapes and its jit wrappers were warmed during
+                # training — swap in the trained weights and reuse it.
+                pf_r.fg_params = fg.params
+                pf_r.bg_params = bg.params
+                self.renderer = pf_r
+            else:
+                if pf_r is not None:
+                    print("# prefetch: renderer config mismatch, rebuilding")
+                    pf = dict(pf)
+                    for k in ("renderer", "score_fn", "score_fn_key"):
+                        pf.pop(k, None)
+                self.renderer = CombinedRenderer(
+                    fg.params, fg.cfg, bg.params, bg.cfg,
+                    settings=fg.settings,
+                    res=res,
+                    intrinsics=clip_K,
+                    out_render_path=os.path.join(self.data_dir, "cb_render"),
+                    obj_aabb=obj_aabb,
+                    fg_crop=fg_crop,
+                )
 
         if self.use_cache_goal_pose:
             best_pose = np.loadtxt(os.path.join(self.data_dir, "goal_pose.txt"))
@@ -441,6 +580,7 @@ class ImaginationEngine:
                     tokenizer=tokenizer,
                     bounds_override=self.sample_bounds,
                     save_renders=getattr(self.cfg, "save_renders", True),
+                    prefetch=pf,
                 )
             np.savetxt(os.path.join(self.data_dir, "goal_pose.txt"), best_pose)
             np.savetxt(os.path.join(self.data_dir, "pose_batch.txt"), pose_batch)

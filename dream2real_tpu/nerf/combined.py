@@ -111,6 +111,68 @@ def crop_window(T_WC_2, obj_aabb, intrinsics, res: int, crop: int):
     return v0, u0
 
 
+def crop_extents(obj_aabb, intrinsics, res: int, T_WO_1, T_WC_1, poses):
+    """Per-candidate-pose projected extent of the movable AABB, in pixels.
+
+    Vectorised numpy replica of `crop_window`'s projection for a (K, 4, 4)
+    candidate batch: returns (ext_u, ext_v), each (K,), the IN-FRAME pixel
+    extent of the 8 projected AABB corners under the virtual-camera trick.
+    Off-frame overhang is excluded — the full-frame render clips it too, so
+    no crop size can (or needs to) recover it. A crop window of size
+    >= ceil(extent) is guaranteed to cover the in-frame projection (the
+    window clamp at the frame border only re-centres, never cuts, once the
+    extent fits)."""
+    from dream2real_tpu.ops.se3 import convert_virtual_pose, pose_inverse
+
+    lo = np.asarray(obj_aabb[0], np.float64)
+    hi = np.asarray(obj_aabb[1], np.float64)
+    corners = np.stack(
+        [[hi[0] if i & 1 else lo[0],
+          hi[1] if i & 2 else lo[1],
+          hi[2] if i & 4 else lo[2]] for i in range(8)]
+    )  # (8, 3)
+    poses = np.asarray(poses, np.float64).reshape(-1, 4, 4)
+    T_WO_1 = np.asarray(T_WO_1, np.float64)
+    T_WC_1 = np.asarray(T_WC_1, np.float64)
+    # Virtual camera per candidate: T_WC_2 = T_WO_2 @ inv(T_WO_1) @ T_WC_1.
+    T_WC_2 = np.asarray(
+        jax.vmap(lambda T: convert_virtual_pose(
+            jnp.asarray(T_WO_1), jnp.asarray(T), jnp.asarray(T_WC_1)
+        ))(jnp.asarray(poses.astype(np.float32)))
+    ).astype(np.float64)
+    T_CW = np.asarray(
+        jax.vmap(pose_inverse)(jnp.asarray(T_WC_2.astype(np.float32)))
+    ).astype(np.float64)
+    cam = np.einsum("kij,cj->kci", T_CW[:, :3, :3], corners) + T_CW[:, None, :3, 3]
+    z = np.maximum(cam[..., 2], 1e-2)
+    K = np.asarray(intrinsics, np.float64)
+    u = np.clip(cam[..., 0] / z * K[0, 0] + K[0, 2], 0.0, res)
+    v = np.clip(cam[..., 1] / z * K[1, 1] + K[1, 2], 0.0, res)
+    return (u.max(axis=1) - u.min(axis=1)), (v.max(axis=1) - v.min(axis=1))
+
+
+def required_crop(obj_aabb, intrinsics, res: int, T_WO_1, render_poses,
+                  poses) -> int:
+    """Smallest crop window (px) covering the movable object's in-frame
+    projection for EVERY candidate pose from every render view.
+
+    The reference renders full 336² frames unconditionally
+    (combined_rendering.py:121-130), so its candidates never lose pixels; the
+    cropped fast path here must not silently clip either. The +2 absorbs the
+    window-centre rounding in `crop_window`; rounded up to a multiple of 8
+    for lane-friendly raster shapes. Free function so the engine can predict
+    the final window size BEFORE training (the scoring prefetch compiles the
+    score program at that size)."""
+    render_poses = np.asarray(render_poses).reshape(-1, 4, 4)
+    need = 0.0
+    for T_WC_1 in render_poses:
+        ext_u, ext_v = crop_extents(
+            obj_aabb, intrinsics, res, T_WO_1, T_WC_1, poses
+        )
+        need = max(need, float(ext_u.max()), float(ext_v.max()))
+    return min(int(-(-(int(np.ceil(need)) + 2) // 8) * 8), res)
+
+
 def background_only_image(bg: BackgroundView) -> jnp.ndarray:
     """Full-frame postprocessed background (what every pixel outside the fg
     crop shows): composite with an empty foreground."""
@@ -216,6 +278,24 @@ class CombinedRenderer:
             n_coarse=32, n_fine=0
         )
         self._render_chunk = None
+        self._bg_render_jit = None
+
+    # ------------------------------------------------------------ crop guard
+
+    def crop_required(self, T_WO_1, render_poses, poses) -> int:
+        """See `required_crop`; returns 0 when no crop is configured."""
+        if not self.fg_crop or self.obj_aabb is None:
+            return 0
+        return required_crop(
+            self.obj_aabb, self.intrinsics, self.res, T_WO_1, render_poses,
+            poses,
+        )
+
+    def bump_crop(self, crop: int) -> None:
+        """Grow the crop window (guard found candidates that would clip) and
+        invalidate every compiled program that baked the old static size."""
+        self.fg_crop = min(int(crop), self.res)
+        self._render_chunk = None
 
     # ---------------------------------------------------------------- bg
 
@@ -232,13 +312,17 @@ class CombinedRenderer:
         scene_model.py:55).
         """
         # Jitted + row-chunked: an eager full-res march materializes every
-        # intermediate (multi-GB) and OOMs the chip.
-        out = jax.jit(
-            lambda p, T: render_image(
-                p, self.bg_cfg, T, self.dirs_cam, self.settings,
-                row_chunk=self.row_chunk,
+        # intermediate (multi-GB) and OOMs the chip. The jitted wrapper is
+        # cached on the instance so repeat calls (and prefetch warm-ups)
+        # reuse the traced executable instead of retracing.
+        if self._bg_render_jit is None:
+            self._bg_render_jit = jax.jit(
+                lambda p, T: render_image(
+                    p, self.bg_cfg, T, self.dirs_cam, self.settings,
+                    row_chunk=self.row_chunk,
+                )
             )
-        )(self.bg_params, jnp.asarray(T_WC))
+        out = self._bg_render_jit(self.bg_params, jnp.asarray(T_WC))
         # Opaque black background (combined_rendering.py:99): alpha -> 1,
         # premultiplied rgb unchanged (black contributes nothing).
         rgb = out["rgb"]

@@ -146,6 +146,27 @@ def _aabb_from_cfg(cfg, poses: np.ndarray, pad: float = 0.15):
     return tuple(lo.tolist()), tuple(hi.tolist())
 
 
+def field_spec(cfg, poses: Optional[np.ndarray] = None,
+               field_overrides: Optional[dict] = None):
+    """(NGPConfig, RenderSettings) a build_vis_model run with this config
+    will use. Deterministic from the config alone when scene_phys_bounds is
+    set (poses only matter for the camera-bbox AABB fallback) — this is what
+    lets the scoring prefetch construct the renderer/score program with the
+    final shapes BEFORE task-NeRF training finishes."""
+    aabb_min, aabb_max = _aabb_from_cfg(cfg, poses)
+    field_kw = dict(aabb_min=aabb_min, aabb_max=aabb_max)
+    if field_overrides:
+        field_kw.update(field_overrides)
+    ngp_cfg = NGPConfig(**field_kw)
+    nc, nf = (
+        int(v) for v in os.environ.get("D2R_TRAIN_SAMPLING", "32,32").split(",")
+    )
+    settings = RenderSettings(
+        n_coarse=nc, n_fine=nf, near=cfg.near_distance, far=cfg.max_depth
+    )
+    return ngp_cfg, settings
+
+
 def build_vis_model(
     cfg,
     dynamic_time_extension: bool = True,
@@ -172,11 +193,6 @@ def build_vis_model(
     if images_override is not None:
         imgs = np.asarray(images_override)
 
-    aabb_min, aabb_max = _aabb_from_cfg(cfg, poses)
-    field_kw = dict(aabb_min=aabb_min, aabb_max=aabb_max)
-    if field_overrides:
-        field_kw.update(field_overrides)
-    ngp_cfg = NGPConfig(**field_kw)
     # TRAINING sample strategy (D2R_TRAIN_SAMPLING="nc,nf" overrides):
     # hierarchical 32+32 by default. Flat uniform (e.g. "64,0") is ~25%
     # faster and measured BETTER on chunky geometry (33.1 vs 32.3 dB on the
@@ -184,12 +200,7 @@ def build_vis_model(
     # 6 cm rect-scene box got ~2-3 samples/ray and the fg field trained to
     # fog (identity PSNR 28->18 dB, argmax broke). The coarse->fine pass is
     # what concentrates samples on thin surfaces, so it stays the default.
-    nc, nf = (
-        int(v) for v in os.environ.get("D2R_TRAIN_SAMPLING", "32,32").split(",")
-    )
-    settings = RenderSettings(
-        n_coarse=nc, n_fine=nf, near=cfg.near_distance, far=cfg.max_depth
-    )
+    ngp_cfg, settings = field_spec(cfg, poses, field_overrides)
 
     steps_scale = float(os.environ.get("D2R_TRAIN_STEPS_SCALE", "1.0"))
     tc_kw = dict(

@@ -150,3 +150,48 @@ def test_cropped_render_matches_full(tmp_path):
             assert np.linalg.norm(rf.mean(0) - rc.mean(0)) < 6.0
     # The two candidate poses must produce visibly different renders.
     assert np.abs(imgs_crop[0].astype(int) - imgs_crop[1].astype(int)).max() > 50
+
+    # ---- fg_crop clipping guard (VERDICT r2 #7): a candidate pulled toward
+    # the camera projects larger than the window; crop_required must detect
+    # it and the bumped window must match the full-frame render.
+    cam_pos = np.asarray(cams[0][:3, 3])
+    near_pose = T_WO_1.copy()
+    near_pose[:3, 3] = 0.78 * cam_pos + 0.22 * T_WO_1[:3, 3]
+    poses3 = np.stack([T_WO_1, poses[1], near_pose])
+
+    need = cropped.crop_required(T_WO_1, cams[:1].astype(np.float32), poses3)
+    assert need > cropped.fg_crop, (need, cropped.fg_crop)
+    # The in-crop poses alone must NOT trigger the guard.
+    assert cropped.crop_required(
+        T_WO_1, cams[:1].astype(np.float32), poses
+    ) <= 40
+
+    # Reference render: the crop machinery with a window covering the WHOLE
+    # frame (fg_crop == res) — same tight-march semantics, zero possible
+    # clipping. (The full-frame path is not a fair oracle here: at the
+    # near-camera virtual pose it marches through never-trained regions of
+    # the fg field and renders fog the tight march correctly skips.)
+    uncropped = CombinedRenderer(
+        fg_params, cfg, fg_params, cfg, obj_aabb=obj_aabb, fg_crop=res,
+        crop_settings=settings, **common,
+    )
+    imgs_ref = uncropped.render(poses3, **args)
+    imgs_small = cropped.render(poses3, **args)  # un-bumped: clips
+    cropped.bump_crop(need)
+    assert cropped.fg_crop == need and cropped._render_chunk is None
+    imgs_big = cropped.render(poses3, **args)
+
+    def red_px(img):
+        return (img[:, :, 0].astype(int) - img[:, :, 1]) > 40
+
+    # The bumped window recovers (nearly) all of the uncropped render's
+    # object pixels; the old window demonstrably lost some (the guard caught
+    # a real clip, not a no-op).
+    n_ref = red_px(imgs_ref[2]).sum()
+    n_small = red_px(imgs_small[2]).sum()
+    n_big = red_px(imgs_big[2]).sum()
+    assert n_ref > 50, n_ref
+    assert n_small < 0.9 * n_ref, (n_small, n_ref)
+    assert n_big > 0.95 * n_ref, (n_big, n_ref)
+    diff3 = np.abs(imgs_ref[2].astype(int) - imgs_big[2].astype(int))
+    assert np.mean(diff3) < 3.0, np.mean(diff3)
