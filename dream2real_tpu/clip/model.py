@@ -103,6 +103,19 @@ def _attn(x, blk, n_heads, mask=None, dtype=jnp.bfloat16, causal=False):
     B, T, W = x.shape
     qkv = jnp.dot(x, blk["qkv"]["w"].astype(dtype), preferred_element_type=jnp.float32)
     qkv = (qkv + blk["qkv"]["b"]).astype(dtype)
+    if mask is None and not causal and _use_pallas_attn():
+        # Fused VMEM-resident attention consuming the projection layout
+        # directly: (B, H, T, 64) blocks put head_dim on the 128-lane axis
+        # (half-empty tiles -> DMA-bound at ~15% HBM bandwidth); streaming
+        # the (T, 3W) qkv keeps tiles full — measured 2x on the scoring
+        # shape (experiments/bench_attention.py). Also skips the two XLA
+        # head transposes.
+        from dream2real_tpu.ops.attention import mha_qkv
+
+        out = mha_qkv(qkv, n_heads).astype(dtype)
+        out = jnp.dot(out, blk["proj"]["w"].astype(dtype),
+                      preferred_element_type=jnp.float32)
+        return (out + blk["proj"]["b"]).astype(dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     hd = W // n_heads
 
@@ -111,9 +124,8 @@ def _attn(x, blk, n_heads, mask=None, dtype=jnp.bfloat16, causal=False):
 
     q, k, v = heads(q), heads(k), heads(v)
     if mask is None and _use_pallas_attn():
-        # Fused VMEM-resident attention: the unfused path below writes the
-        # (B, H, T, T) f32 logits to HBM (~680 MB/layer at the scoring batch)
-        # — at ViT-L scale that HBM round-trip, not FLOPs, bounds throughput.
+        # Causal (text tower): the head-split kernel with in-kernel causal
+        # masking; cost is negligible at T=77.
         from dream2real_tpu.ops.attention import mha
 
         out = mha(q, k, v, causal=causal).astype(dtype)

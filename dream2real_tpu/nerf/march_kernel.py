@@ -78,7 +78,7 @@ def _sh16_rows(u):
 def _march_kernel(
     o_ref, d_ref, t0_ref, t1_ref, box_ref,
     w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-    w4_ref, b4_ref, cw0_ref, cw1_ref, cw2_ref,
+    wm_ref, bm_ref, csh_ref, cw1_ref, cw2_ref,
     rgb_ref, alpha_ref, depth_ref,
     *, n_samples: int, min_transmittance: float,
 ):
@@ -106,7 +106,7 @@ def _march_kernel(
         _march_block(
             o, d, t0, t1, box_ref,
             w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-            w4_ref, b4_ref, cw0_ref, cw1_ref, cw2_ref,
+            wm_ref, bm_ref, csh_ref, cw1_ref, cw2_ref,
             rgb_ref, alpha_ref, depth_ref,
             n_samples=n_samples, min_transmittance=min_transmittance,
         )
@@ -115,7 +115,7 @@ def _march_kernel(
 def _march_block(
     o, d, t0, t1, box_ref,
     w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-    w4_ref, b4_ref, cw0_ref, cw1_ref, cw2_ref,
+    wm_ref, bm_ref, csh_ref, cw1_ref, cw2_ref,
     rgb_ref, alpha_ref, depth_ref,
     *, n_samples: int, min_transmittance: float,
 ):
@@ -142,15 +142,19 @@ def _march_block(
     A = jnp.concatenate([a3 * f for f in freqs], axis=0)   # (3deg, 1)
     B = jnp.concatenate([b3 * f for f in freqs], axis=0)   # (3deg, R)
 
-    # SH color basis: constant across samples (dirs don't change along a ray).
+    # SH color basis: constant across samples (dirs don't change along a
+    # ray) — so its whole color-layer contribution csh @ sh hoists out of
+    # the sample loop (one (64, 16) matmul per BLOCK instead of a (64, 31)
+    # one per SAMPLE).
     sh = _sh16_rows(d / dn).astype(bf16)                   # (16, R)
 
     zeros1 = jnp.zeros((1, R), f32)
 
-    w0, w1, w2, w3, w4 = w0_ref[:], w1_ref[:], w2_ref[:], w3_ref[:], w4_ref[:]
-    cw0, cw1, cw2 = cw0_ref[:], cw1_ref[:], cw2_ref[:]
+    w0, w1, w2, w3 = w0_ref[:], w1_ref[:], w2_ref[:], w3_ref[:]
+    wm, cw1, cw2 = wm_ref[:], cw1_ref[:], cw2_ref[:]
     b0, b1, b2 = b0_ref[:], b1_ref[:], b2_ref[:]
-    b3b, b4b = b3_ref[:], b4_ref[:]
+    b3b, bm = b3_ref[:], bm_ref[:]
+    sh_term = jnp.dot(csh_ref[:], sh, preferred_element_type=f32)  # (64, R)
 
     def body(s, carry):
         trans, acc_rgb, acc_a, acc_d = carry
@@ -170,17 +174,22 @@ def _march_block(
         h = jnp.concatenate([h, enc], 0)                        # (320, R)
         h = jnp.dot(w3, h, preferred_element_type=f32) + b3b
         h = jnp.maximum(h, 0.0).astype(bf16)
-        h = (jnp.dot(w4, h, preferred_element_type=f32) + b4b).astype(bf16)
+        # Folded head: wm = [w4 sigma row; cw0_geo @ w4_geo] computes sigma
+        # AND the color layer's geo contribution in ONE full-rate (72, 256)
+        # matmul — the separate w4 (M=16, 1/8 MXU by shape) and cw0 (K=31,
+        # 1/4 by shape) matmuls this replaces ran at fractional rate.
+        hm = jnp.dot(wm, h, preferred_element_type=f32) + bm    # (72, R)
 
-        sigma = jnp.exp(jnp.clip(h[0:1].astype(f32), -15.0, 15.0))  # (1, R)
+        # Row order [geo 0:64 | sigma 64] keeps both slices 8-sublane-tile
+        # aligned (no relayout copies).
+        sigma = jnp.exp(jnp.clip(hm[64:65], -15.0, 15.0))       # (1, R)
         # Zero density outside field aabb / march box (model.density_fn +
         # render_rays march_aabb masking).
         pos = o + d * ts                                        # (3, R) world
         inside = jnp.all((pos >= lo_i) & (pos <= hi_i), axis=0, keepdims=True)
         sigma = jnp.where(inside, sigma, 0.0)
 
-        cin = jnp.concatenate([h[1:16], sh], 0)                 # (31, R) bf16
-        c = jnp.dot(cw0, cin, preferred_element_type=f32)       # (64, R)
+        c = hm[0:64] + sh_term                                  # (64, R) f32
         c = jnp.maximum(c, 0.0).astype(bf16)
         c = jnp.dot(cw1, c, preferred_element_type=f32)
         c = jnp.maximum(c, 0.0).astype(bf16)
@@ -222,8 +231,16 @@ def _pad_params(params, cfg: NGPConfig):
     w3p = jnp.concatenate(
         [w3[:, :256], w3[:, 256:], jnp.zeros((w3.shape[0], 1), w3.dtype)], axis=1
     )
-    w4 = params["trunk_w4"].T  # (16, 256)
-    cw0 = params["color_w0"].T  # (64, 31): [geo 15 | sh 16]
+    w4 = params["trunk_w4"].T   # (16, 256): [sigma row | 15 geo rows]
+    b4 = params["trunk_b4"]     # (16,)
+    cw0 = params["color_w0"].T  # (64, 31): [geo 15 | sh 16] columns
+    # Folded sigma+color head (see _march_block): the color layer's geo
+    # contribution composes linearly with the geo head, so cw0_geo @ w4_geo
+    # pre-contracts to a (64, 256) matrix evaluated at FULL MXU rate; the
+    # w4 (M=16) and cw0 (K=31) matmuls it replaces ran at 1/8 / 1/4 rate by
+    # shape. Rows: [geo-color 0:64 | sigma 64], padded to 72 sublanes.
+    wm = jnp.concatenate([cw0[:, :15] @ w4[1:16], w4[0:1]], axis=0)  # (65, 256)
+    bm = jnp.concatenate([cw0[:, :15] @ b4[1:16], b4[0:1]])[:, None]
     cw2 = params["color_w2"].T  # (3, 64) -> pad M to 8 sublanes
     cw2p = jnp.pad(cw2, ((0, 5), (0, 0)))
     return {
@@ -231,8 +248,15 @@ def _pad_params(params, cfg: NGPConfig):
         "w1": params["trunk_w1"].T.astype(bf), "b1": params["trunk_b1"][:, None],
         "w2": params["trunk_w2"].T.astype(bf), "b2": params["trunk_b2"][:, None],
         "w3": w3p.astype(bf), "b3": params["trunk_b3"][:, None],
-        "w4": w4.astype(bf), "b4": params["trunk_b4"][:, None],
-        "cw0": cw0.astype(bf), "cw1": params["color_w1"].T.astype(bf),
+        # Folded render-head layout (used by march_rays_fused)...
+        "wm": jnp.pad(wm, ((0, 7), (0, 0))).astype(bf),
+        "bm": jnp.pad(bm, ((0, 7), (0, 0))),
+        "csh": cw0[:, 15:31].astype(bf),
+        # ...and the unfolded heads (train_kernel.py's backward needs the
+        # separate w4/cw0 to accumulate their gradients).
+        "w4": w4.astype(bf), "b4": b4[:, None],
+        "cw0": cw0.astype(bf),
+        "cw1": params["color_w1"].T.astype(bf),
         "cw2": cw2p.astype(bf),
     }
 
@@ -322,8 +346,8 @@ def march_rays_fused(
         spec(box.shape, rep2),                              # boxes
     ] + [
         spec(p[k].shape, rep2)
-        for k in ("w0", "b0", "w1", "b1", "w2", "b2", "w3", "b3", "w4", "b4",
-                  "cw0", "cw1", "cw2")
+        for k in ("w0", "b0", "w1", "b1", "w2", "b2", "w3", "b3", "wm", "bm",
+                  "csh", "cw1", "cw2")
     ]
 
     out_shape = [
@@ -363,7 +387,7 @@ def march_rays_fused(
     )(
         origin[:, None], dirs.T[None], t0[None], t1[None], box,
         p["w0"], p["b0"], p["w1"], p["b1"], p["w2"], p["b2"],
-        p["w3"], p["b3"], p["w4"], p["b4"], p["cw0"], p["cw1"], p["cw2"],
+        p["w3"], p["b3"], p["wm"], p["bm"], p["csh"], p["cw1"], p["cw2"],
     )
     rgb = jnp.where(valid[:, None], rgb[0].T[:n_rays], 0.0)
     alpha = jnp.where(valid, alpha[0][:n_rays], 0.0)

@@ -1,0 +1,396 @@
+"""Standalone microbench for the CLIP attention kernel variants (real TPU).
+
+Times the production pallas attention op (`ops/attention.py::mha`) against
+experimental variants at the exact scoring shape (B=32, H=16, T=584, D=64,
+bf16) to attribute the residual ~0.3 ms/pose of attention overhead
+(PERF.md roofline). Usage: python experiments/bench_attention.py [reps]
+
+Timing protocol per CLAUDE.md: block via D2H of an on-device reduction
+(block_until_ready does not wait on axon); warm-up call first.
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+# ---------------------------------------------------------------- variants
+
+def _kernel_unrolled(q_ref, k_ref, v_ref, bias_ref, o_ref, *, n_heads):
+    """v1: python-unrolled head loop (no fori_loop carry chain) — gives the
+    Mosaic scheduler freedom to overlap head h's VPU softmax with head
+    h+1's MXU matmuls."""
+    bias = bias_ref[:]
+    for h in range(n_heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m).astype(q.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, h] = (o / l).astype(o_ref.dtype)
+
+
+def _kernel_pipelined(q_ref, k_ref, v_ref, bias_ref, o_ref, *, n_heads):
+    """v3: explicit 2-stage software pipeline — issue head h+1's QK^T
+    before head h's softmax/PV so MXU and VPU work interleave."""
+    bias = bias_ref[:]
+
+    def logits(h):
+        s = jax.lax.dot_general(
+            q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return s + bias
+
+    s_prev = logits(0)
+    for h in range(n_heads):
+        s_next = logits(h + 1) if h + 1 < n_heads else None
+        m = jnp.max(s_prev, axis=-1, keepdims=True)
+        p = jnp.exp(s_prev - m).astype(q_ref.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jnp.dot(p, v_ref[0, h], preferred_element_type=jnp.float32)
+        o_ref[0, h] = (o / l).astype(o_ref.dtype)
+        s_prev = s_next
+
+
+def _kernel_nomax(q_ref, k_ref, v_ref, bias_ref, o_ref, *, n_heads):
+    """v2: skip the max-subtraction VPU pass. Safe only when |logits| stays
+    far below f32 exp overflow (~88); CLIP post-LN logits are O(10-30) —
+    numerics to be validated separately before production use. The key-pad
+    bias must then be a finite negative (exp -> 0), not -0.7*f32max."""
+    bias = bias_ref[:]
+    for h in range(n_heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(s + bias).astype(q.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, h] = (o / l).astype(o_ref.dtype)
+
+
+def _call(kernel, q, k, v, *, finite_bias=False):
+    B, H, Tq, D = q.shape
+    T = k.shape[2]
+    mask_val = -60.0 if finite_bias else _MASK_VALUE
+    bias = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) < Tq, 0.0, mask_val
+    ).astype(jnp.float32)
+    qspec = pl.BlockSpec((1, H, Tq, D), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((1, H, T, D), lambda b: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(kernel, n_heads=H),
+        grid=(B,),
+        in_specs=[qspec, spec, spec,
+                  pl.BlockSpec((1, T), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Tq, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(q, k, v, bias)
+
+
+def _pad(q, k, v):
+    B, H, T, D = q.shape
+    t_pad = -T % 128
+    tq_pad = -T % 8
+    q = q * (D**-0.5)
+    if t_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, tq_pad), (0, 0)))
+        k, v = (jnp.pad(x, ((0, 0), (0, 0), (0, t_pad), (0, 0)))
+                for x in (k, v))
+    return q, k, v, T
+
+
+def _mha_v1_unrolled(q, k, v):
+    q, k, v, T = _pad(q, k, v)
+    return _call(_kernel_unrolled, q, k, v)[:, :, :T]
+
+
+def _mha_v2_nomax(q, k, v):
+    q, k, v, T = _pad(q, k, v)
+    return _call(_kernel_nomax, q, k, v, finite_bias=True)[:, :, :T]
+
+
+def _mha_v3_pipelined(q, k, v):
+    q, k, v, T = _pad(q, k, v)
+    return _call(_kernel_pipelined, q, k, v)[:, :, :T]
+
+
+def _kernel_fused_layout(qkv_ref, o_ref, *, n_heads, hd):
+    """v8: per-image cell consumes the PROJECTION-LAYOUT qkv (T, 3W) block —
+    full 128-lane tiles stream at full HBM bandwidth; per-head (T, 64)
+    slices are cheap VMEM relayouts. Output back in (T, W) layout."""
+    qkv = qkv_ref[0]                      # (T, 3W) bf16
+    T = qkv.shape[0]
+    W = n_heads * hd
+    scale = hd**-0.5
+    for h in range(n_heads):
+        q = qkv[:, h * hd:(h + 1) * hd] * scale
+        k = qkv[:, W + h * hd: W + (h + 1) * hd]
+        v = qkv[:, 2 * W + h * hd: 2 * W + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                  # (T, T)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m).astype(qkv.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, :, h * hd:(h + 1) * hd] = (o / l).astype(o_ref.dtype)
+
+
+def _kernel_fused_nomax(qkv_ref, o_ref, *, n_heads, hd):
+    """v9: v8 layout + no max pass (constant clamp at 70 fused into the
+    scale): one fewer (T, T) VPU reduce per head."""
+    qkv = qkv_ref[0]
+    T = qkv.shape[0]
+    W = n_heads * hd
+    scale = hd**-0.5
+    for h in range(n_heads):
+        q = qkv[:, h * hd:(h + 1) * hd] * scale
+        k = qkv[:, W + h * hd: W + (h + 1) * hd]
+        v = qkv[:, 2 * W + h * hd: 2 * W + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(jnp.minimum(s, 70.0) - 70.0).astype(qkv.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, :, h * hd:(h + 1) * hd] = (o / l).astype(o_ref.dtype)
+
+
+def _kernel_fused_pipelined(qkv_ref, o_ref, *, n_heads, hd):
+    """v10: v8 layout + explicit 2-stage head pipeline."""
+    qkv = qkv_ref[0]
+    W = n_heads * hd
+    scale = hd**-0.5
+
+    def logits(h):
+        q = qkv[:, h * hd:(h + 1) * hd] * scale
+        k = qkv[:, W + h * hd: W + (h + 1) * hd]
+        return jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    s_prev = logits(0)
+    for h in range(n_heads):
+        s_next = logits(h + 1) if h + 1 < n_heads else None
+        v = qkv[:, 2 * W + h * hd: 2 * W + (h + 1) * hd]
+        m = jnp.max(s_prev, axis=-1, keepdims=True)
+        p = jnp.exp(s_prev - m).astype(qkv.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, :, h * hd:(h + 1) * hd] = (o / l).astype(o_ref.dtype)
+        s_prev = s_next
+
+
+def _kernel_fused_nomax_pipe(qkv_ref, o_ref, *, n_heads, hd):
+    """v11: v9 (nomax) + v10 (2-stage head pipeline)."""
+    qkv = qkv_ref[0]
+    W = n_heads * hd
+    scale = hd**-0.5
+
+    def logits(h):
+        q = qkv[:, h * hd:(h + 1) * hd] * scale
+        k = qkv[:, W + h * hd: W + (h + 1) * hd]
+        return jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    s_prev = logits(0)
+    for h in range(n_heads):
+        s_next = logits(h + 1) if h + 1 < n_heads else None
+        v = qkv[:, 2 * W + h * hd: 2 * W + (h + 1) * hd]
+        p = jnp.exp(jnp.minimum(s_prev, 70.0) - 70.0).astype(qkv.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, :, h * hd:(h + 1) * hd] = (o / l).astype(o_ref.dtype)
+        s_prev = s_next
+
+
+def _mha_v8_projlayout(qkv, n_heads=16, kernel=_kernel_fused_layout):
+    B, T, W3 = qkv.shape
+    W = W3 // 3
+    spec = pl.BlockSpec((1, T, W3), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, T, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(kernel, n_heads=n_heads, hd=W // n_heads),
+        grid=(B,),
+        in_specs=[spec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((B, T, W), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(qkv)
+
+
+# ------------------------------------------------------------- floor probes
+
+def _kernel_exponly(q_ref, k_ref, v_ref, bias_ref, o_ref, *, n_heads):
+    """Floor probe: ONLY the exp pass (no matmuls, no reduces)."""
+    for h in range(n_heads):
+        q = q_ref[0, h]                       # (T, D)
+        t = k_ref.shape[2]
+        s = jnp.broadcast_to(q[:, :1], (q.shape[0], t)).astype(jnp.float32)
+        p = jnp.exp(s).astype(q.dtype)
+        o_ref[0, h] = p[:, : q.shape[1]].astype(o_ref.dtype)
+
+
+def _kernel_softmaxonly(q_ref, k_ref, v_ref, bias_ref, o_ref, *, n_heads):
+    """Floor probe: bias+max+exp+sum+div passes on a fabricated tile (no
+    MXU work)."""
+    bias = bias_ref[:]
+    for h in range(n_heads):
+        q = q_ref[0, h]
+        t = k_ref.shape[2]
+        s = jnp.broadcast_to(q[:, :1], (q.shape[0], t)).astype(jnp.float32)
+        s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m).astype(q.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o_ref[0, h] = (p[:, : q.shape[1]].astype(jnp.float32) / l).astype(
+            o_ref.dtype)
+
+
+def _kernel_matmulonly(q_ref, k_ref, v_ref, bias_ref, o_ref, *, n_heads):
+    """Floor probe: QK^T and PV matmuls only (softmax replaced by a cast)."""
+    for h in range(n_heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = s.astype(q.dtype)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, h] = o.astype(o_ref.dtype)
+
+
+def _probe(kernel):
+    def run(q, k, v):
+        qp, kp, vp, T = _pad(q, k, v)
+        return _call(kernel, qp, kp, vp)[:, :, :T]
+    return run
+
+
+CHAIN = 24  # fold the op into one dispatch: per-dispatch overhead on the
+# tunneled runtime (~3 ms) would otherwise swamp a ~1-3 ms kernel.
+
+
+def chained(fn):
+    def run(q, k, v):
+        def body(_, x):
+            return fn(x, k, v).astype(q.dtype)
+
+        return jax.lax.fori_loop(0, CHAIN, body, q)
+
+    return jax.jit(run)
+
+
+def timeit(fn, *args, reps=5):
+    """Returns seconds per single op application (CHAIN per dispatch)."""
+    out = fn(*args)
+    float(jnp.sum(out.astype(jnp.float32)))  # warm-up + sync
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    float(jnp.sum(out.astype(jnp.float32)))
+    return (time.time() - t0) / (reps * CHAIN)
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    print(jax.devices(), flush=True)
+    B, H, T, D = 32, 16, 577, 64
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, H, T, D), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, H, T, D), jnp.bfloat16)
+    v = jax.random.normal(kv, (B, H, T, D), jnp.bfloat16)
+
+    from dream2real_tpu.ops import attention as A
+
+    base = chained(A.mha)
+    t = timeit(base, q, k, v, reps=reps)
+    print(f"mha (production)        : {t*1e3:8.3f} ms/op "
+          f"(x24 layers = {t*24*1e3:.1f} ms/b{B})", flush=True)
+
+    one = jax.jit(lambda q, k, v: A.mha(q, k, v))
+    ref = np.asarray(one(q, k, v), np.float32)
+    for name, fn in [("v1_unrolled", _mha_v1_unrolled),
+                     ("v2_nomax", _mha_v2_nomax),
+                     ("v3_pipelined", _mha_v3_pipelined)]:
+        jf = jax.jit(lambda q, k, v, fn=fn: fn(q, k, v))
+        got = np.asarray(jf(q, k, v), np.float32)
+        rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        tv = timeit(chained(fn), q, k, v, reps=reps)
+        print(f"{name:24s}: {tv*1e3:8.3f} ms/op  "
+              f"(x{t/tv:.2f} vs prod, maxrel {rel:.2e})", flush=True)
+
+    for name, kern in [("probe_exp_only", _kernel_exponly),
+                       ("probe_softmax_only", _kernel_softmaxonly),
+                       ("probe_matmul_only", _kernel_matmulonly)]:
+        tv = timeit(chained(_probe(kern)), q, k, v, reps=reps)
+        print(f"{name:24s}: {tv*1e3:8.3f} ms/op", flush=True)
+
+    # v8: projection-layout input (B, T, 3W), full-lane tiles. Chain by
+    # writing the (T, W) output back over the qkv carry's first W columns
+    # (in-place loop carry: avoids re-materialising a 3W concat per step).
+    qkv0 = jax.random.normal(kq, (B, T, 3 * H * D), jnp.bfloat16)
+
+    for name, kern in [("v8_projlayout", _kernel_fused_layout),
+                       ("v9_proj_nomax", _kernel_fused_nomax),
+                       ("v10_proj_pipelined", _kernel_fused_pipelined),
+                       ("v11_nomax_pipelined", _kernel_fused_nomax_pipe)]:
+
+        def chain8(qkv, kern=kern):
+            def body(_, x):
+                y = _mha_v8_projlayout(x, n_heads=H, kernel=kern)
+                return jax.lax.dynamic_update_slice(x, y.astype(x.dtype),
+                                                    (0, 0, 0))
+
+            return jax.lax.fori_loop(0, CHAIN, body, qkv)
+
+        jc8 = jax.jit(chain8)
+        out = jc8(qkv0)
+        float(jnp.sum(out.astype(jnp.float32)))
+        t0 = time.time()
+        for _ in range(reps):
+            out = jc8(qkv0)
+        float(jnp.sum(out.astype(jnp.float32)))
+        tv = (time.time() - t0) / (reps * CHAIN)
+        print(f"{name:24s}: {tv*1e3:8.3f} ms/op "
+              f"(x{t/tv:.2f} vs prod)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -309,6 +309,55 @@ def main():
     )
     print(f"rank corr (top-{k} oracle poses): rho = {rho:.3f}", flush=True)
 
+    # --- Optional ablations (--ablate): attribute rank-corr disagreement.
+    # (a) full-window render (fg_crop == res, same tight-march semantics):
+    #     removes any crop-window clipping/border effect;
+    # (b) smoothed scores vs oracle: does the smoothing prior help or hurt
+    #     rank agreement in the competitive region;
+    # (c) per-yaw-slice correlation: is the disagreement concentrated in one
+    #     orientation (field anisotropy) or uniform (metric noise).
+    ablations = None
+    if "--ablate" in sys.argv:
+        from dream2real_tpu.nerf.combined import CombinedRenderer
+
+        print("ablation: full-window (fg_crop = res) re-render...", flush=True)
+        full_r = CombinedRenderer(
+            renderer.fg_params, renderer.fg_cfg,
+            renderer.bg_params, renderer.bg_cfg,
+            settings=renderer.settings, res=res, intrinsics=K_clip,
+            out_render_path=renderer.out_render_path,
+            obj_aabb=renderer.obj_aabb, fg_crop=res,
+            crop_settings=renderer.crop_settings,
+        )
+        renders_fw = full_r.render(
+            grid, render_poses, [0], depths_gt=depths_gt,
+            movable_masks=movable_masks, T_WO_1=T_WO_1, save=False,
+        ).astype(np.float32)
+        scores_fw = -((renders_fw - goal_img[None]) ** 2).mean(axis=(1, 2, 3))
+        rho_fw = float(spearmanr(oracle_scores[top], scores_fw[top]).statistic)
+        rho_sm = float(spearmanr(oracle_scores[top], smoothed[top]).statistic)
+        per_yaw = {}
+        if rect:
+            n_yaw = sample_res[5]
+            for yw in range(n_yaw):
+                sel = np.array([i for i in top if i % n_yaw == yw])
+                if len(sel) >= 5:
+                    per_yaw[f"yaw{yw}"] = {
+                        "n": int(len(sel)),
+                        "rho_crop": round(float(
+                            spearmanr(oracle_scores[sel], scores[sel]).statistic), 3),
+                        "rho_fullwin": round(float(
+                            spearmanr(oracle_scores[sel], scores_fw[sel]).statistic), 3),
+                    }
+        ablations = {
+            "rank_corr_fullwin": round(rho_fw, 3),
+            "rank_corr_smoothed": round(rho_sm, 3),
+            "per_yaw": per_yaw,
+            "argmax_fullwin_matches_oracle": bool(
+                int(np.argmax(scores_fw)) == oracle_idx),
+        }
+        print(f"ablations: {json.dumps(ablations)}", flush=True)
+
     ok_psnr = bool(psnr >= 22.0)
     ok_argmax = bool(ok_raw and ok_sm and rho >= 0.8)
     print(f"PSNR check (>=22 dB): {'PASS' if ok_psnr else 'FAIL'}", flush=True)
@@ -327,6 +376,8 @@ def main():
         "grid": sample_res,
         "ok": bool(ok_psnr and ok_argmax),
     }
+    if ablations is not None:
+        out["ablations"] = ablations
     print(json.dumps(out))
     with open(os.path.join(data_dir, "validate_synth_argmax.json"), "w") as f:
         json.dump(out, f)

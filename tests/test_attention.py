@@ -36,6 +36,50 @@ def test_mha_matches_xla(causal, T):
     )
 
 
+@pytest.mark.parametrize("T", [37, 128])
+@pytest.mark.parametrize("maxsub", ["0", "1"])
+def test_mha_qkv_matches_xla(T, maxsub, monkeypatch):
+    """Projection-layout kernel vs the head-split XLA reference; both the
+    clamped (default) and exact max-subtraction softmax variants."""
+    monkeypatch.setenv("D2R_ATTN_MAXSUB", maxsub)
+    from dream2real_tpu.ops.attention import mha_qkv
+
+    B, H, D = 2, 4, 16
+    W = H * D
+    qkv = jax.random.normal(
+        jax.random.PRNGKey(2), (B, T, 3 * W)
+    ).astype(jnp.bfloat16)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+
+    ref = _ref_attn(heads(q), heads(k), heads(v), causal=False)
+    ref = ref.transpose(0, 2, 1, 3).reshape(B, T, W)
+    out = mha_qkv(qkv, H)
+    assert out.shape == (B, T, W)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=0.02, rtol=0.05,
+    )
+
+
+def test_mha_qkv_clamp_matches_maxsub(monkeypatch):
+    """The constant-clamp softmax is exactly shift-equivalent to the maxed
+    one for logits below the clamp (the only regime CLIP produces)."""
+    from dream2real_tpu.ops import attention as A
+
+    B, H, D, T = 1, 2, 8, 24
+    qkv = jax.random.normal(jax.random.PRNGKey(3), (B, T, 3 * H * D)) * 2.0
+    qkv = qkv.astype(jnp.bfloat16)
+    monkeypatch.setenv("D2R_ATTN_MAXSUB", "0")
+    out0 = np.asarray(A.mha_qkv(qkv, H), np.float32)
+    monkeypatch.setenv("D2R_ATTN_MAXSUB", "1")
+    out1 = np.asarray(A.mha_qkv(qkv, H), np.float32)
+    # Shift-equivalent up to bf16 rounding of the attention weights.
+    np.testing.assert_allclose(out0, out1, atol=0.02, rtol=0.02)
+
+
 def test_mha_padding_does_not_leak():
     """Valid-query outputs must be identical whether T is tile-aligned or not:
     padded keys are masked out, so appending rows cannot change them."""
