@@ -359,7 +359,11 @@ def main():
         print(f"ablations: {json.dumps(ablations)}", flush=True)
 
     ok_psnr = bool(psnr >= 22.0)
-    ok_argmax = bool(ok_raw and ok_sm and rho >= 0.8)
+    # Gate raised 0.8 -> 0.9 in round 3 after the --ablate decomposition:
+    # measured rho is 0.985 (xyz) / 0.927 (rect 6-DoF); the rect residual is
+    # identical with a full-frame window (crop ruled out) and concentrated
+    # in the yaw-0 slice — field anisotropy, the one irreducible term.
+    ok_argmax = bool(ok_raw and ok_sm and rho >= 0.9)
     print(f"PSNR check (>=22 dB): {'PASS' if ok_psnr else 'FAIL'}", flush=True)
     print(f"argmax-parity check: {'PASS' if ok_argmax else 'FAIL'}", flush=True)
     out = {
