@@ -253,6 +253,60 @@ def _mha_v8_projlayout(qkv, n_heads=16, kernel=_kernel_fused_layout):
     )(qkv)
 
 
+def _kernel_block_fused(x_ref, wqkv_ref, bqkv_ref, g_ref, b_ref, o_ref, *,
+                        n_heads, hd):
+    """v12: LN1 + qkv projection + attention in ONE kernel. x (T, W) in,
+    attention output (T, W) out; Wqkv (W, 3W) VMEM-resident (constant index
+    map -> DMA'd once, reused across grid cells). The (T, 3W) qkv never
+    touches HBM."""
+    x = x_ref[0]                                   # (T, W) bf16
+    W = n_heads * hd
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    xn = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * g_ref[0]
+          + b_ref[0]).astype(x.dtype)
+    qkv = (jax.lax.dot_general(
+        xn, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:]).astype(x.dtype)               # (T, 3W)
+    scale = hd**-0.5
+    for h in range(n_heads):
+        q = qkv[:, h * hd:(h + 1) * hd] * scale
+        k = qkv[:, W + h * hd: W + (h + 1) * hd]
+        v = qkv[:, 2 * W + h * hd: 2 * W + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(jnp.minimum(s, 70.0) - 70.0).astype(x.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, :, h * hd:(h + 1) * hd] = (o / l).astype(o_ref.dtype)
+
+
+def _block_fused(x, wqkv, bqkv, g, b, n_heads=16):
+    B, T, W = x.shape
+    xspec = pl.BlockSpec((1, T, W), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(wqkv.shape, lambda bb: (0, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, 3 * W), lambda bb: (0, 0),
+                         memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((1, W), lambda bb: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_block_fused, n_heads=n_heads,
+                          hd=W // n_heads),
+        grid=(B,),
+        in_specs=[xspec, wspec, vspec, gspec, gspec],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((B, T, W), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(x, wqkv, bqkv[None], g[None], b[None])
+
+
 # ------------------------------------------------------------- floor probes
 
 def _kernel_exponly(q_ref, k_ref, v_ref, bias_ref, o_ref, *, n_heads):
@@ -328,7 +382,9 @@ def timeit(fn, *args, reps=5):
 
 
 def main():
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    argn = [a for a in sys.argv[1:] if not a.startswith("-")]
+    reps = int(argn[0]) if argn else 20
+    layer_only = "--layer-only" in sys.argv
     print(jax.devices(), flush=True)
     B, H, T, D = 32, 16, 577, 64
     key = jax.random.PRNGKey(0)
@@ -338,6 +394,10 @@ def main():
     v = jax.random.normal(kv, (B, H, T, D), jnp.bfloat16)
 
     from dream2real_tpu.ops import attention as A
+
+    if layer_only:
+        _layer_bench(B, H, T, D, kq, kk, reps)
+        return
 
     base = chained(A.mha)
     t = timeit(base, q, k, v, reps=reps)
@@ -390,6 +450,47 @@ def main():
         tv = (time.time() - t0) / (reps * CHAIN)
         print(f"{name:24s}: {tv*1e3:8.3f} ms/op "
               f"(x{t/tv:.2f} vs prod)", flush=True)
+
+    _layer_bench(B, H, T, D, kq, kk, reps)
+
+
+def _layer_bench(B, H, T, D, kq, kk, reps):
+    # --- v12: fused LN+qkv+attention vs (XLA LN + qkv matmul + v9 kernel).
+    # Chains on the (T, W) residual stream like a real tower layer.
+    W = H * D
+    x0 = jax.random.normal(kq, (B, T, W), jnp.bfloat16)
+    wqkv = (jax.random.normal(kk, (W, 3 * W)) * 0.02).astype(jnp.bfloat16)
+    bqkv = jnp.zeros((3 * W,), jnp.float32)
+    g = jnp.ones((W,), jnp.float32)
+    bb = jnp.zeros((W,), jnp.float32)
+
+    def ln(x):
+        x32 = x.astype(jnp.float32)
+        mu = x32.mean(-1, keepdims=True)
+        var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+        return ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * g + bb).astype(x.dtype)
+
+    def baseline_layer(x):
+        qkv = (jnp.dot(ln(x), wqkv, preferred_element_type=jnp.float32)
+               + bqkv).astype(x.dtype)
+        return x + _mha_v8_projlayout(qkv, n_heads=H,
+                                      kernel=_kernel_fused_nomax)
+
+    def fused_layer(x):
+        return x + _block_fused(x, wqkv, bqkv, g, bb, n_heads=H)
+
+    for name, layer in [("xla_ln_qkv + v9 kernel", baseline_layer),
+                        ("v12_block_fused", fused_layer)]:
+        jf = jax.jit(lambda x, layer=layer: jax.lax.fori_loop(
+            0, CHAIN, lambda _, xx: layer(xx).astype(x.dtype), x))
+        out = jf(x0)
+        float(jnp.sum(out.astype(jnp.float32)))
+        t0 = time.time()
+        for _ in range(reps):
+            out = jf(x0)
+        float(jnp.sum(out.astype(jnp.float32)))
+        tv = (time.time() - t0) / (reps * CHAIN)
+        print(f"{name:24s}: {tv*1e3:8.3f} ms/layer-op", flush=True)
 
 
 if __name__ == "__main__":
