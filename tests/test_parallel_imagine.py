@@ -98,3 +98,47 @@ def test_return_renders_same_scores():
     renders = np.asarray(renders)
     assert renders.shape == (4, 32, 32, 3)
     assert renders.dtype == np.uint8
+
+
+def test_sharded_train_chunk_matches_single():
+    """dp-sharded training step (ray batch over the mesh) vs single device:
+    same key -> same sampled batch -> same loss and same updated params (to
+    f32 cross-device reduction-order tolerance)."""
+    from dream2real_tpu.nerf.trainer import (
+        TrainConfig, init_train_state, make_train_chunk,
+    )
+    from dream2real_tpu.parallel.mesh import pose_sharding
+
+    ngp_cfg = NGPConfig(
+        mlp_width=32, mlp_depth=3, skip_layer=2, posenc_deg=4, geo_feat_dim=7,
+        aabb_min=(0.0, -0.6, -0.1), aabb_max=(1.1, 0.6, 0.9),
+    )
+    tc = TrainConfig(
+        n_steps=2, batch_rays=64, poll_steps=2,
+        optimize_extrinsics=False, dynamic_time_extension=False,
+    )
+    settings = RenderSettings(n_coarse=4, n_fine=4, near=0.05, far=2.0)
+    h = w = 16
+    f = 0.9 * w
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1.0]])
+    dirs_cam = cameras.pixel_dirs(h, w, jnp.asarray(K))
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (4, h, w, 4), dtype=np.uint8))
+    poses_cam = jnp.tile(jnp.eye(4)[None], (4, 1, 1))
+    depths = jnp.ones((4, h, w)) * 0.5
+
+    mesh = data_mesh(8)
+    common = dict(depths=depths)
+    chunk_single = make_train_chunk(
+        ngp_cfg, tc, settings, images, poses_cam, dirs_cam, **common)
+    chunk_sharded = make_train_chunk(
+        ngp_cfg, tc, settings, images, poses_cam, dirs_cam,
+        ray_sharding=pose_sharding(mesh), **common)
+
+    s0 = init_train_state(ngp_cfg, tc, n_images=4)
+    s1, loss1 = chunk_single(s0)
+    s2, loss2 = chunk_sharded(s0)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    p1 = np.asarray(s1["params"]["field"]["trunk_w0"])
+    p2 = np.asarray(s2["params"]["field"]["trunk_w0"])
+    np.testing.assert_allclose(p1, p2, atol=2e-5, rtol=1e-4)
