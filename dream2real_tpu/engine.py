@@ -610,4 +610,53 @@ class ImaginationEngine:
             except Exception as e:  # visualisation is best-effort
                 print("cost volume export skipped:", e)
 
+        if getattr(self.cfg, "gui", False):
+            # The reference's vis.gui pops Open3D windows + the NGP GUI
+            # (geometry_utils.py:137-249, train_ngp.py:59-60); on headless
+            # TPU hosts the flag exports an interactive self-contained HTML
+            # viewer of the same geometry instead.
+            try:
+                with self.stage_timer.stage("artifacts"):
+                    self._export_viewer(task_model, best_pose)
+            except Exception as e:
+                print("viewer export skipped:", e)
+
         return np.asarray(best_pose).reshape(4, 4)
+
+    def _export_viewer(self, task_model, best_pose) -> str:
+        from dream2real_tpu.vis.viewer import export_scene_html
+
+        points, meshes, frames = [], [], []
+        fg_h = task_model.movable_obj.phys_model
+        bg_h = task_model.task_bground_obj.phys_model
+        if fg_h is not None and getattr(fg_h, "points", None) is not None:
+            pts = np.asarray(fg_h.points)
+            pv = pts[pts[:, 3] > 0, :3]
+            points.append((pv, np.tile([255, 80, 80], (len(pv), 1)), "movable"))
+        if bg_h is not None and getattr(bg_h, "points", None) is not None:
+            pts = np.asarray(bg_h.points)
+            pv = pts[pts[:, 3] > 0, :3]
+            points.append((pv, np.tile([120, 120, 140], (len(pv), 1)),
+                           "background"))
+        mesh_dir = os.path.join(self.data_dir, "phys_mod")
+        if os.path.isdir(mesh_dir):
+            from dream2real_tpu.physics.mesh import load_obj
+
+            for fn in sorted(os.listdir(mesh_dir)):
+                if fn.startswith("mesh_concave_") and fn.endswith(".obj"):
+                    try:
+                        v, f = load_obj(os.path.join(mesh_dir, fn))
+                        meshes.append((v, f, "#44cc88", fn[:-4]))
+                    except Exception:
+                        pass
+        for i in self.render_cam_pose_idx:
+            frames.append((np.asarray(self.scene_model.opt_cam_poses[i]),
+                           f"cam{i}"))
+        frames.append((np.asarray(best_pose).reshape(4, 4), "goal"))
+        out = export_scene_html(
+            os.path.join(self.data_dir, "viewer.html"),
+            points=points, meshes=meshes, frames=frames,
+            title="dream2real_tpu — imagined placement",
+        )
+        print(f"interactive viewer exported: {out}")
+        return out

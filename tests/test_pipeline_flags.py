@@ -176,8 +176,15 @@ def test_pcd_ablation_pipeline(seeded):
 def test_physics_only_pipeline(seeded):
     """physics_only=True: pre-render checks pick the pose, no CLIP scoring
     (configs/synth/physics_only.json path)."""
-    edit = dict(ALL_CACHED, use_cache_renders=False, physics_only=True)
+    edit = dict(ALL_CACHED, use_cache_renders=False, physics_only=True,
+                gui=True)
     _, best = _run(seeded["cfg_path"], seeded["data_dir"], cfg_edit=edit)
     assert best.shape == (4, 4) and np.isfinite(best).all()
     # The chosen pose must be inside the sampling bounds (a valid candidate).
     assert 0.0 <= best[2, 3] <= 0.35
+    # gui=True exports the headless-friendly interactive viewer (the
+    # reference's Open3D-window path, geometry_utils.py:137-249).
+    viewer = os.path.join(seeded["data_dir"], "viewer.html")
+    assert os.path.exists(viewer)
+    html = open(viewer).read()
+    assert "movable" in html and '"frame"' in html

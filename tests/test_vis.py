@@ -64,3 +64,36 @@ def test_seg_overlay_and_visimg(tmp_path):
     p = os.path.join(tmp_path, "im.png")
     visimg(rgb, p)
     assert os.path.exists(p)
+
+
+def test_export_scene_html(tmp_path):
+    """Interactive HTML viewer: layers embedded, caps honoured, file is a
+    standalone document (no external resources)."""
+    import json
+    import re
+
+    from dream2real_tpu.vis.viewer import MAX_POINTS, export_scene_html
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (MAX_POINTS + 500, 3))
+    cols = rng.uniform(0, 1, (MAX_POINTS + 500, 3))
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], float)
+    faces = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
+    T = np.eye(4)
+    path = export_scene_html(
+        str(tmp_path / "viewer.html"),
+        points=[(pts, cols, "cloud")],
+        meshes=[(verts, faces, "#44cc88", "tet")],
+        frames=[(T, "goal")],
+        title="test scene",
+    )
+    html = open(path).read()
+    assert "<canvas" in html and "test scene" in html
+    assert "http://" not in html and "https://" not in html  # standalone
+    data = json.loads(re.search(r"const DATA = (\{.*?\});\n", html).group(1))
+    kinds = [layer["kind"] for layer in data["layers"]]
+    assert kinds == ["points", "mesh", "frame"]
+    assert len(data["layers"][0]["pts"]) == MAX_POINTS  # subsample cap
+    assert len(data["layers"][0]["cols"]) == MAX_POINTS
+    assert max(c for f in data["layers"][1]["faces"] for c in f) < len(
+        data["layers"][1]["verts"])
