@@ -150,6 +150,15 @@ def _use_pallas_attn() -> bool:
     return os.environ.get("D2R_PALLAS_ATTN", "1") != "0"
 
 
+def _fused_ln_attn_mode() -> str:
+    # "1": LN1+qkv+attention in one pallas kernel (attention.py::mha_ln_qkv);
+    # "2": also fold the out-projection + residual add in-kernel;
+    # "0": split XLA LN + qkv matmul + mha_qkv pipeline.
+    import os
+
+    return os.environ.get("D2R_ATTN_FUSED_LN", "0")
+
+
 def _mlp_block(x, blk, dtype=jnp.bfloat16):
     h = jnp.dot(x, blk["fc1"]["w"].astype(dtype), preferred_element_type=jnp.float32)
     # Round to bf16 BEFORE the activation: the (tokens, 4096) f32
@@ -162,9 +171,29 @@ def _mlp_block(x, blk, dtype=jnp.bfloat16):
 
 
 def _block(x, blk, n_heads, mask=None, dtype=jnp.bfloat16, causal=False):
-    x = x + _attn(
-        _ln(x, blk["ln1_g"], blk["ln1_b"]), blk, n_heads, mask, dtype, causal
-    )
+    mode = _fused_ln_attn_mode() if mask is None and not causal else "0"
+    if _use_pallas_attn() and mode in ("1", "2"):
+        from dream2real_tpu.ops.attention import mha_ln_qkv
+
+        if mode == "2":
+            x = mha_ln_qkv(
+                x.astype(dtype), blk["qkv"]["w"].astype(dtype),
+                blk["qkv"]["b"], blk["ln1_g"], blk["ln1_b"], n_heads,
+                wo=blk["proj"]["w"].astype(dtype), bo=blk["proj"]["b"],
+            )
+        else:
+            a = mha_ln_qkv(
+                x.astype(dtype), blk["qkv"]["w"].astype(dtype),
+                blk["qkv"]["b"], blk["ln1_g"], blk["ln1_b"], n_heads,
+            ).astype(dtype)
+            a = jnp.dot(a, blk["proj"]["w"].astype(dtype),
+                        preferred_element_type=jnp.float32)
+            x = x + (a + blk["proj"]["b"]).astype(dtype)
+    else:
+        x = x + _attn(
+            _ln(x, blk["ln1_g"], blk["ln1_b"]), blk, n_heads, mask, dtype,
+            causal,
+        )
     x = x + _mlp_block(_ln(x, blk["ln2_g"], blk["ln2_b"]), blk, dtype)
     return x
 

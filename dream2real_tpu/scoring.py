@@ -101,7 +101,12 @@ def _fused_score(
     T_WO = jnp.asarray(np.asarray(T_WO_1, np.float32))
     poses = np.asarray(valid_poses, np.float32).reshape(-1, 4, 4)
     k = len(poses)
-    slab = max(cb, 256 // cb * cb)
+    # D2R_SCORE_SLAB overrides for tests/tuning (rounded down to a clip-batch
+    # multiple); default 256 poses/dispatch keeps launches under the
+    # tunneled runtime's ~1-2 min kill window.
+    slab = int(os.environ.get("D2R_SCORE_SLAB", "0")) // cb * cb
+    if slab <= 0:
+        slab = max(cb, 256 // cb * cb)
     out = np.empty(k, np.float32)
 
     writer = futures = None
@@ -129,6 +134,25 @@ def _fused_score(
         writer = ThreadPoolExecutor(max_workers=1)
         futures = []
 
+    # Dispatch ALL slabs before fetching anything: on the tunneled runtime a
+    # render D2H serializes with compute, so interleaved fetch-per-slab was
+    # paying (compute + D2H) serially. Score fetches are tiny; the u8 render
+    # slabs drain through the writer thread AFTER their compute has been
+    # enqueued, with a pending-bytes cap so a reference-scale run (70k poses
+    # = ~23 GB of renders) never accumulates them all in HBM.
+    pending: list = []  # (start, n, scores_dev, imgs_dev | None)
+    pending_img_bytes = 0
+    img_bytes = slab * renderer.res * renderer.res * 3
+    MAX_PENDING = int(os.environ.get("D2R_RENDER_PENDING_MB", "1536")) * 2**20
+
+    def _drain(entry):
+        nonlocal pending_img_bytes
+        start, n, scores_dev, imgs_dev = entry
+        if imgs_dev is not None:
+            futures.append(writer.submit(_write, imgs_dev, start, n))
+            pending_img_bytes -= img_bytes
+        out[start : start + n] = np.asarray(scores_dev)[:n]
+
     for s in range(0, k, slab):
         chunk = poses[s : s + slab]
         n = len(chunk)
@@ -141,13 +165,17 @@ def _fused_score(
         )
         if save_dir is not None:
             scores, imgs = result
-            futures.append(writer.submit(_write, imgs, s, n))
+            pending.append((s, n, scores, imgs))
+            pending_img_bytes += img_bytes
         else:
-            scores = result
-        out[s : s + n] = np.asarray(scores)[:n]
+            pending.append((s, n, result, None))
+        while pending_img_bytes > MAX_PENDING:
+            _drain(pending.pop(0))
         if s == 0:
-            _lap("first slab (compile+run)")
-    _lap("remaining slabs")
+            _lap("first slab (dispatch)")
+    while pending:
+        _drain(pending.pop(0))
+    _lap("all slabs (compute + score/render D2H)")
     if writer is not None:
         for f in futures:
             f.result()  # surface writer-thread exceptions

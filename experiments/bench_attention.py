@@ -284,6 +284,68 @@ def _kernel_block_fused(x_ref, wqkv_ref, bqkv_ref, g_ref, b_ref, o_ref, *,
         o_ref[0, :, h * hd:(h + 1) * hd] = (o / l).astype(o_ref.dtype)
 
 
+def _kernel_block_fused_o(x_ref, wqkv_ref, bqkv_ref, g_ref, b_ref, wo_ref,
+                          bo_ref, o_ref, acc_ref, *, n_heads, hd):
+    """v13: LN1 + qkv + attention + out-projection + residual in ONE kernel.
+    Per-head outputs accumulate into a VMEM scratch (T, W); one full-rate
+    K=W matmul applies Wo; o_ref gets x + attn@Wo + bo. Removes the last
+    attention-related HBM round-trip (the pre-projection (T, W) tensor)."""
+    x = x_ref[0]
+    W = n_heads * hd
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    xn = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * g_ref[0]
+          + b_ref[0]).astype(x.dtype)
+    qkv = (jax.lax.dot_general(
+        xn, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[:]).astype(x.dtype)
+    scale = hd**-0.5
+    for h in range(n_heads):
+        q = qkv[:, h * hd:(h + 1) * hd] * scale
+        k = qkv[:, W + h * hd: W + (h + 1) * hd]
+        v = qkv[:, 2 * W + h * hd: 2 * W + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(jnp.minimum(s, 70.0) - 70.0).astype(x.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc_ref[:, h * hd:(h + 1) * hd] = (o / l).astype(acc_ref.dtype)
+    proj = jax.lax.dot_general(
+        acc_ref[:], wo_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[:]
+    o_ref[0] = (x32 + proj).astype(o_ref.dtype)
+
+
+def _block_fused_o(x, wqkv, bqkv, g, b, wo, bo, n_heads=16):
+    B, T, W = x.shape
+    xspec = pl.BlockSpec((1, T, W), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(wqkv.shape, lambda bb: (0, 0),
+                         memory_space=pltpu.VMEM)
+    w2spec = pl.BlockSpec(wo.shape, lambda bb: (0, 0),
+                          memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, 3 * W), lambda bb: (0, 0),
+                         memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((1, W), lambda bb: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_block_fused_o, n_heads=n_heads,
+                          hd=W // n_heads),
+        grid=(B,),
+        in_specs=[xspec, wspec, vspec, gspec, gspec, w2spec, gspec],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((B, T, W), x.dtype),
+        scratch_shapes=[pltpu.VMEM((T, W), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(x, wqkv, bqkv[None], g[None], b[None], wo, bo[None])
+
+
 def _block_fused(x, wqkv, bqkv, g, b, n_heads=16):
     B, T, W = x.shape
     xspec = pl.BlockSpec((1, T, W), lambda bb: (bb, 0, 0),
@@ -479,8 +541,32 @@ def _layer_bench(B, H, T, D, kq, kk, reps):
     def fused_layer(x):
         return x + _block_fused(x, wqkv, bqkv, g, bb, n_heads=H)
 
+    # --- v13: also fold the out-projection + residual into the kernel.
+    # Fair comparison: every variant below computes the FULL attention
+    # sub-block x + proj(attn(LN(x))).
+    wo = (jax.random.normal(kq, (W, W)) * 0.02).astype(jnp.bfloat16)
+    bo = jnp.zeros((W,), jnp.float32)
+
+    def baseline_subblock(x):
+        qkv = (jnp.dot(ln(x), wqkv, preferred_element_type=jnp.float32)
+               + bqkv).astype(x.dtype)
+        a = _mha_v8_projlayout(qkv, n_heads=H, kernel=_kernel_fused_nomax)
+        return x + (jnp.dot(a.astype(x.dtype), wo,
+                            preferred_element_type=jnp.float32) + bo)
+
+    def v12_subblock(x):
+        a = _block_fused(x, wqkv, bqkv, g, bb, n_heads=H)
+        return x + (jnp.dot(a.astype(x.dtype), wo,
+                            preferred_element_type=jnp.float32) + bo)
+
+    def v13_subblock(x):
+        return _block_fused_o(x, wqkv, bqkv, g, bb, wo, bo, n_heads=H)
+
     for name, layer in [("xla_ln_qkv + v9 kernel", baseline_layer),
-                        ("v12_block_fused", fused_layer)]:
+                        ("v12_block_fused", fused_layer),
+                        ("subblock: xla + v9", baseline_subblock),
+                        ("subblock: v12 + xla_wo", v12_subblock),
+                        ("subblock: v13 all-fused", v13_subblock)]:
         jf = jax.jit(lambda x, layer=layer: jax.lax.fori_loop(
             0, CHAIN, lambda _, xx: layer(xx).astype(x.dtype), x))
         out = jf(x0)
@@ -491,6 +577,12 @@ def _layer_bench(B, H, T, D, kq, kk, reps):
         float(jnp.sum(out.astype(jnp.float32)))
         tv = (time.time() - t0) / (reps * CHAIN)
         print(f"{name:24s}: {tv*1e3:8.3f} ms/layer-op", flush=True)
+
+    # numeric cross-check of v13 vs the composed baseline
+    a = np.asarray(jax.jit(baseline_subblock)(x0), np.float32)
+    c = np.asarray(jax.jit(v13_subblock)(x0), np.float32)
+    print(f"v13 maxrel vs baseline: "
+          f"{np.abs(a - c).max() / (np.abs(a).max() + 1e-9):.2e}", flush=True)
 
 
 if __name__ == "__main__":

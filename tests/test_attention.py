@@ -80,6 +80,26 @@ def test_mha_qkv_clamp_matches_maxsub(monkeypatch):
     np.testing.assert_allclose(out0, out1, atol=0.02, rtol=0.02)
 
 
+def test_mha_ln_qkv_matches_split_pipeline(monkeypatch):
+    """Fused LN+qkv+attention kernel vs the split (XLA LN + matmul +
+    mha_qkv) pipeline, through the full vision _block."""
+    import jax.numpy as jnp
+
+    from dream2real_tpu.clip.model import _block, _init_block
+
+    B, T, W, H = 2, 37, 64, 4
+    blk = _init_block(jax.random.PRNGKey(5), W)
+    blk = jax.tree.map(lambda t: t.astype(jnp.float32), blk)
+    x = jax.random.normal(jax.random.PRNGKey(6), (B, T, W), jnp.bfloat16)
+    monkeypatch.setenv("D2R_ATTN_FUSED_LN", "0")
+    ref = np.asarray(_block(x, blk, H), np.float32)
+    for mode in ("1", "2"):  # "2" also folds out-proj + residual in-kernel
+        monkeypatch.setenv("D2R_ATTN_FUSED_LN", mode)
+        out = np.asarray(_block(x, blk, H), np.float32)
+        np.testing.assert_allclose(out, ref, atol=0.03, rtol=0.05,
+                                   err_msg=f"mode {mode}")
+
+
 def test_mha_padding_does_not_leak():
     """Valid-query outputs must be identical whether T is tile-aligned or not:
     padded keys are masked out, so appending rows cannot change them."""

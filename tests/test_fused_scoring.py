@@ -124,3 +124,34 @@ def test_fused_matches_unfused(rng, tmp_path):
 
     saved0 = np.asarray(Image.open(tmp_path / "cb_render" / "cb_rgb_0000.png"))
     np.testing.assert_array_equal(saved0, renders[0])
+
+    # Multi-slab dispatch with a zero pending-bytes cap: forces the
+    # mid-loop drain path (every slab drains before the next dispatch) and
+    # a partial final slab (10 poses, slab=4 -> 4,4,2 with cb-padding on
+    # the last). Scores and artifacts must be identical to the 1-slab run.
+    poses10 = np.tile(T_WO_1[None], (10, 1, 1)).astype(np.float32)
+    poses10[:, 0, 3] += np.linspace(-0.05, 0.15, 10)
+    renderer.out_render_path = str(tmp_path / "cb_one")
+    fused10 = _fused_score(
+        renderer, scorer, _tok, tm, poses10, cams[:1].astype(np.float32),
+        np.stack(depths[:1]), None, T_WO_1, use_templates=False,
+        save_renders=True,
+    )
+    os.environ["D2R_RENDER_PENDING_MB"] = "0"
+    os.environ["D2R_SCORE_SLAB"] = "4"
+    try:
+        renderer.out_render_path = str(tmp_path / "cb_slab4")
+        fused_slabbed = _fused_score(
+            renderer, scorer, _tok, tm, poses10,
+            cams[:1].astype(np.float32), np.stack(depths[:1]), None,
+            T_WO_1, use_templates=False, save_renders=True,
+        )
+    finally:
+        del os.environ["D2R_SCORE_SLAB"], os.environ["D2R_RENDER_PENDING_MB"]
+    np.testing.assert_allclose(fused_slabbed, fused10, rtol=1e-5, atol=1e-5)
+    for d in ("cb_one", "cb_slab4"):
+        files = sorted(os.listdir(tmp_path / d))
+        assert files == [f"cb_rgb_{i:04d}.png" for i in range(10)]
+    one = np.asarray(Image.open(tmp_path / "cb_one" / "cb_rgb_0009.png"))
+    slb = np.asarray(Image.open(tmp_path / "cb_slab4" / "cb_rgb_0009.png"))
+    np.testing.assert_array_equal(slb, one)
