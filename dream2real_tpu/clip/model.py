@@ -159,6 +159,14 @@ def _fused_ln_attn_mode() -> str:
     return os.environ.get("D2R_ATTN_FUSED_LN", "0")
 
 
+def _mlp_fused() -> bool:
+    # Fused LN2+fc1+QuickGELU+fc2+residual pallas sub-block (ops/mlp.py);
+    # composes with any D2R_ATTN_FUSED_LN mode, incl. the causal text tower.
+    import os
+
+    return os.environ.get("D2R_MLP_FUSED", "0") == "1"
+
+
 def _mlp_block(x, blk, dtype=jnp.bfloat16):
     h = jnp.dot(x, blk["fc1"]["w"].astype(dtype), preferred_element_type=jnp.float32)
     # Round to bf16 BEFORE the activation: the (tokens, 4096) f32
@@ -193,6 +201,14 @@ def _block(x, blk, n_heads, mask=None, dtype=jnp.bfloat16, causal=False):
         x = x + _attn(
             _ln(x, blk["ln1_g"], blk["ln1_b"]), blk, n_heads, mask, dtype,
             causal,
+        )
+    if _use_pallas_attn() and _mlp_fused():
+        from dream2real_tpu.ops.mlp import mlp_ln
+
+        return mlp_ln(
+            x.astype(dtype), blk["fc1"]["w"].astype(dtype), blk["fc1"]["b"],
+            blk["fc2"]["w"].astype(dtype), blk["fc2"]["b"],
+            blk["ln2_g"], blk["ln2_b"],
         )
     x = x + _mlp_block(_ln(x, blk["ln2_g"], blk["ln2_b"]), blk, dtype)
     return x

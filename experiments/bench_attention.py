@@ -562,11 +562,43 @@ def _layer_bench(B, H, T, D, kq, kk, reps):
     def v13_subblock(x):
         return _block_fused_o(x, wqkv, bqkv, g, bb, wo, bo, n_heads=H)
 
+    # --- full transformer BLOCK: attention sub-block + MLP sub-block, the
+    # unit production actually chains 24x. Compares XLA MLP vs the fused
+    # pallas MLP kernel (ops/mlp.py) on top of the best attention variant.
+    w1 = (jax.random.normal(kk, (W, 4 * W)) * 0.02).astype(jnp.bfloat16)
+    b1 = jnp.zeros((4 * W,), jnp.float32)
+    w2 = (jax.random.normal(kq, (4 * W, W)) * 0.02).astype(jnp.bfloat16)
+    b2 = jnp.zeros((W,), jnp.float32)
+
+    def xla_mlp(x):
+        h = jnp.dot(ln(x), w1, preferred_element_type=jnp.float32)
+        h = (h + b1).astype(x.dtype)
+        h = h * jax.nn.sigmoid(1.702 * h.astype(jnp.float32)).astype(x.dtype)
+        return x + (jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2
+                    ).astype(x.dtype)
+
+    def pallas_mlp(x):
+        from dream2real_tpu.ops.mlp import mlp_ln
+
+        return mlp_ln(x, w1, b1, w2, b2, g, bb, interpret=False)
+
+    def block_baseline(x):
+        return xla_mlp(baseline_subblock(x).astype(x.dtype))
+
+    def block_v13_xla_mlp(x):
+        return xla_mlp(v13_subblock(x).astype(x.dtype))
+
+    def block_v13_pallas_mlp(x):
+        return pallas_mlp(v13_subblock(x).astype(x.dtype))
+
     for name, layer in [("xla_ln_qkv + v9 kernel", baseline_layer),
                         ("v12_block_fused", fused_layer),
                         ("subblock: xla + v9", baseline_subblock),
                         ("subblock: v12 + xla_wo", v12_subblock),
-                        ("subblock: v13 all-fused", v13_subblock)]:
+                        ("subblock: v13 all-fused", v13_subblock),
+                        ("block: xla+v9 | xla mlp", block_baseline),
+                        ("block: v13 | xla mlp", block_v13_xla_mlp),
+                        ("block: v13 | pallas mlp", block_v13_pallas_mlp)]:
         jf = jax.jit(lambda x, layer=layer: jax.lax.fori_loop(
             0, CHAIN, lambda _, xx: layer(xx).astype(x.dtype), x))
         out = jf(x0)
@@ -578,10 +610,14 @@ def _layer_bench(B, H, T, D, kq, kk, reps):
         tv = (time.time() - t0) / (reps * CHAIN)
         print(f"{name:24s}: {tv*1e3:8.3f} ms/layer-op", flush=True)
 
-    # numeric cross-check of v13 vs the composed baseline
+    # numeric cross-checks vs the composed baselines
     a = np.asarray(jax.jit(baseline_subblock)(x0), np.float32)
     c = np.asarray(jax.jit(v13_subblock)(x0), np.float32)
     print(f"v13 maxrel vs baseline: "
+          f"{np.abs(a - c).max() / (np.abs(a).max() + 1e-9):.2e}", flush=True)
+    a = np.asarray(jax.jit(block_baseline)(x0), np.float32)
+    c = np.asarray(jax.jit(block_v13_pallas_mlp)(x0), np.float32)
+    print(f"full-block maxrel vs baseline: "
           f"{np.abs(a - c).max() / (np.abs(a).max() + 1e-9):.2e}", flush=True)
 
 
