@@ -223,9 +223,11 @@ def _train_bwd_kernel(
     w4_ref, b4_ref, cw0_ref, cw1_ref, cw2_ref,
     dC_ref, dA_ref, dD_ref, C_ref, A_ref, D_ref,
     dw0_ref, db0_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
-    dw4_ref, db4_ref, dcw0_ref, dcw1_ref, dcw2_ref, do_ref, dd_ref,
-    *, n_samples: int, min_transmittance: float,
+    dw4_ref, db4_ref, dcw0_ref, dcw1_ref, dcw2_ref, *ray_refs,
+    n_samples: int, min_transmittance: float, ray_grads: bool,
 ):
+    if ray_grads:
+        do_ref, dd_ref = ray_refs
     pid = pl.program_id(0)
     o = o_ref[0]
     d = d_ref[0]
@@ -250,7 +252,10 @@ def _train_bwd_kernel(
     )
 
     def body(s, carry):
-        trans, P, accs, do_acc, dd_acc = carry
+        if ray_grads:
+            trans, P, accs, do_acc, dd_acc = carry
+        else:
+            trans, P, accs = carry
         (dw0, db0, dw1, db1, dw2, db2, dw3, db3, dw4, db4,
          dcw0, dcw1, dcw2) = accs
         ts_row = ts_ref[0, pl.ds(s, 1)]
@@ -319,6 +324,17 @@ def _train_bwd_kernel(
         db0 = db0 + jnp.sum(dh0, axis=1, keepdims=True)
         dh0 = dh0.astype(_BF16)
         dw0 = dw0 + jnp.dot(dh0, enc.T, preferred_element_type=_F32)
+
+        trans = trans * (1.0 - a + 1e-10)
+        accs = (dw0, db0, dw1, db1, dw2, db2, dw3, db3, dw4, db4,
+                dcw0, dcw1, dcw2)
+        if not ray_grads:
+            # Extrinsics frozen (the dominant fg/bg task-NeRF config):
+            # dL/d(origins,dirs) is discarded upstream, so skip its whole
+            # chain — the w0^T @ dh0 input-grad matmul and the sin/cos
+            # re-evaluation below are ray-grad-only work.
+            return trans, P, accs
+
         denc = jnp.dot(w0.T, dh0, preferred_element_type=_F32)  # (64, R)
         denc = denc + denc_skip
 
@@ -332,19 +348,18 @@ def _train_bwd_kernel(
         do_acc = do_acc + dpos
         dd_acc = dd_acc + dpos * ts_row
 
-        trans = trans * (1.0 - a + 1e-10)
-        accs = (dw0, db0, dw1, db1, dw2, db2, dw3, db3, dw4, db4,
-                dcw0, dcw1, dcw2)
         return trans, P, accs, do_acc, dd_acc
 
     init = (
         jnp.ones((1, R), _F32),
         jnp.zeros((1, R), _F32),
         tuple(jnp.zeros(s, _F32) for s in _GRAD_SHAPES),
-        jnp.zeros((3, R), _F32),
-        jnp.zeros((3, R), _F32),
     )
-    _, _, accs, do_acc, dd_acc = jax.lax.fori_loop(0, n_samples, body, init)
+    if ray_grads:
+        init = init + (jnp.zeros((3, R), _F32), jnp.zeros((3, R), _F32))
+        _, _, accs, do_acc, dd_acc = jax.lax.fori_loop(0, n_samples, body, init)
+    else:
+        _, _, accs = jax.lax.fori_loop(0, n_samples, body, init)
 
     grad_refs = (dw0_ref, db0_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                  dw3_ref, db3_ref, dw4_ref, db4_ref, dcw0_ref, dcw1_ref,
@@ -360,8 +375,9 @@ def _train_bwd_kernel(
         for ref, acc in zip(grad_refs, accs):
             ref[...] = ref[...] + acc
 
-    do_ref[0] = do_acc
-    dd_ref[0] = dd_acc
+    if ray_grads:
+        do_ref[0] = do_acc
+        dd_ref[0] = dd_acc
 
 
 def _prep(params, cfg, origins, dirs, ts):
@@ -452,24 +468,30 @@ def density_weights_fused(
     return out[0].T[:n_rays]  # (R, S)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7, 8))
 def render_train_fused(
     params, cfg: NGPConfig, origins, dirs, ts,
     min_transmittance: float = 1e-4,
     block_rays: int = 1024, interpret: bool | None = None,
+    need_ray_grads: bool = True,
 ):
     """Differentiable fused training render.
 
     origins/dirs (R, 3) world (dirs z-normalized, NOT unit); ts (R, S)
     sorted sample positions (constants in backward — d ts == 0). Returns
-    dict rgb (R, 3) premultiplied linear, alpha (R,), depth (R,)."""
+    dict rgb (R, 3) premultiplied linear, alpha (R,), depth (R,).
+
+    need_ray_grads=False (extrinsics frozen) skips the dL/d(origins,dirs)
+    chain in the backward kernel — the w0^T input-grad matmul and a full
+    sin/cos re-evaluation per sample — and returns zero cotangents for
+    origins/dirs. Parameter gradients are bit-identical either way."""
     out, _ = _train_fwd(params, cfg, origins, dirs, ts, min_transmittance,
-                        block_rays, interpret)
+                        block_rays, interpret, need_ray_grads)
     return out
 
 
 def _train_fwd(params, cfg, origins, dirs, ts, min_transmittance,
-               block_rays, interpret):
+               block_rays, interpret, need_ray_grads=True):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_rays, S = ts.shape
@@ -518,7 +540,8 @@ def _train_fwd(params, cfg, origins, dirs, ts, min_transmittance,
     return out, res
 
 
-def _train_bwd(cfg, min_transmittance, block_rays, interpret, res, cot):
+def _train_bwd(cfg, min_transmittance, block_rays, interpret, need_ray_grads,
+               res, cot):
     params, origins, dirs, ts, C, A_out, D = res
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -544,18 +567,22 @@ def _train_bwd(cfg, min_transmittance, block_rays, interpret, res, cot):
         spec((1, block_rays), row2),     # A
         spec((1, block_rays), row2),     # D
     ]
-    out_specs = [spec(s, rep2) for s in _GRAD_SHAPES] + [
-        spec((1, 3, block_rays), ray3),
-        spec((1, 3, block_rays), ray3),
-    ]
-    out_shape = [jax.ShapeDtypeStruct(s, _F32) for s in _GRAD_SHAPES] + [
-        jax.ShapeDtypeStruct((1, 3, R), _F32),
-        jax.ShapeDtypeStruct((1, 3, R), _F32),
-    ]
+    out_specs = [spec(s, rep2) for s in _GRAD_SHAPES]
+    out_shape = [jax.ShapeDtypeStruct(s, _F32) for s in _GRAD_SHAPES]
+    if need_ray_grads:
+        out_specs += [
+            spec((1, 3, block_rays), ray3),
+            spec((1, 3, block_rays), ray3),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((1, 3, R), _F32),
+            jax.ShapeDtypeStruct((1, 3, R), _F32),
+        ]
     outs = pl.pallas_call(
         functools.partial(
             _train_bwd_kernel, n_samples=S,
             min_transmittance=min_transmittance,
+            ray_grads=bool(need_ray_grads),
         ),
         grid=(R // block_rays,),
         in_specs=in_specs,
@@ -573,8 +600,12 @@ def _train_bwd(cfg, min_transmittance, block_rays, interpret, res, cot):
         *[p[k] for k in _WEIGHT_NAMES],
         dCp.T[None], dAp.T, dDp.T, Cp.T[None], Ap.T, Dp.T,
     )
-    (dw0, db0, dw1, db1, dw2, db2, dw3, db3, dw4, db4, dcw0, dcw1, dcw2,
-     do_p, dd_p) = outs
+    if need_ray_grads:
+        (dw0, db0, dw1, db1, dw2, db2, dw3, db3, dw4, db4, dcw0, dcw1, dcw2,
+         do_p, dd_p) = outs
+    else:
+        (dw0, db0, dw1, db1, dw2, db2, dw3, db3, dw4, db4, dcw0, dcw1,
+         dcw2) = outs
     enc_dim = cfg.posenc_dim  # 63
     dparams = {
         "trunk_w0": dw0[:, :enc_dim].T,
@@ -594,8 +625,12 @@ def _train_bwd(cfg, min_transmittance, block_rays, interpret, res, cot):
         "color_w1": dcw1.T,
         "color_w2": dcw2[:3].T,
     }
-    d_origins = do_p[0].T[:n_rays]
-    d_dirs = dd_p[0].T[:n_rays]
+    if need_ray_grads:
+        d_origins = do_p[0].T[:n_rays]
+        d_dirs = dd_p[0].T[:n_rays]
+    else:
+        d_origins = jnp.zeros_like(origins)
+        d_dirs = jnp.zeros_like(dirs)
     return dparams, d_origins, d_dirs, jnp.zeros_like(ts)
 
 
@@ -614,6 +649,7 @@ def supports_training(cfg: NGPConfig) -> bool:
 def render_rays_train(
     params, cfg: NGPConfig, origins, dirs, settings, key=None,
     block_rays: int = 2048, interpret: bool | None = None,
+    need_ray_grads: bool = True,
 ):
     """Fused-kernel equivalent of render.render_rays for TRAINING batches
     (flat (R, 3) rays, full-field march box, hierarchical sampling).
@@ -696,7 +732,7 @@ def render_rays_train(
 
     out = render_train_fused(
         params, cfg, origins, dirs, ts_all, settings.min_transmittance,
-        block_rays, interpret,
+        block_rays, interpret, bool(need_ray_grads),
     )
     return {
         "rgb": jnp.where(valid[:, None], out["rgb"], 0.0),

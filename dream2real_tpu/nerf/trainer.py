@@ -226,7 +226,11 @@ def make_train_chunk(
             from dream2real_tpu.nerf.train_kernel import render_rays_train
 
             out = render_rays_train(
-                params["field"], cfg, origins, dirs, settings, k_render
+                params["field"], cfg, origins, dirs, settings, k_render,
+                # Extrinsics frozen -> dL/d(origins,dirs) is discarded;
+                # skip its chain in the backward kernel (ray-grad-only
+                # matmul + sin/cos re-evaluation).
+                need_ray_grads=tc.optimize_extrinsics,
             )
         else:
             out = render_rays(

@@ -163,6 +163,36 @@ def test_param_grads_match_autodiff():
         )
 
 
+def test_no_ray_grads_param_grads_identical():
+    """need_ray_grads=False (extrinsics frozen) must leave parameter
+    gradients bit-identical to the full backward and return exact-zero
+    origin/dir cotangents — the flag only removes ray-grad-only work."""
+    params = init_ngp_params(jax.random.PRNGKey(0), CFG)
+    R = 256
+    o, d = _train_rays(R, seed=5)
+    ts = _fixed_ts(R, seed=23)
+    probes = _probes(R)
+
+    def grads(need):
+        return jax.grad(
+            lambda p, oo, dd: _loss_via(
+                render_train_fused(p, CFG, oo, dd, ts, 1e-4, 128, None, need),
+                probes,
+            ),
+            argnums=(0, 1, 2),
+        )(params, o, d)
+
+    g_full, go_full, _ = grads(True)
+    g_slim, go_slim, gd_slim = grads(False)
+    for name in g_full:
+        np.testing.assert_array_equal(
+            np.asarray(g_full[name]), np.asarray(g_slim[name]), err_msg=name
+        )
+    assert float(jnp.abs(go_full).max()) > 0.0  # full path is non-trivial
+    assert float(jnp.abs(go_slim).max()) == 0.0
+    assert float(jnp.abs(gd_slim).max()) == 0.0
+
+
 def test_ray_grads_dominant_term():
     """d origins / d dirs carry the geometric path only (the |d| and SH
     paths are dropped); require strong directional + magnitude agreement
