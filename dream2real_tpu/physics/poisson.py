@@ -135,7 +135,7 @@ def poisson_indicator(
     chi_hat = np.where(
         np.abs(lap) > 1e-12, div_hat / np.where(lap == 0, 1.0, lap), 0.0
     )
-    chi = np.fft.irfftn(chi_hat, s=(X, Y, Z)).astype(np.float32)
+    chi = np.fft.irfftn(chi_hat, s=(X, Y, Z), axes=(0, 1, 2)).astype(np.float32)
 
     # --- Iso level: mean indicator at the samples (trilinear).
     def trilinear(vol, g, i0, f):
