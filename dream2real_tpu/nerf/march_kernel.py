@@ -295,21 +295,25 @@ def march_rays_fused(
     """Fused-march equivalent of render_rays(...)['rgb'/'alpha'/'depth'] for
     flat rays sharing one origin. Returns dict rgb (R,3), alpha (R,), depth (R,).
 
-    compact=True (default, D2R_MARCH_COMPACT=0 disables) permutes rays so
+    compact=True (D2R_MARCH_COMPACT=1; default OFF) permutes rays so
     box-hitting rays fill the leading blocks: the crop window is square but
     the object AABB's projection inside it is a convex blob, so row-major
     blocks mix hit and miss rays and march everything; hits-first ordering
     turns every fully-miss tail block into an `any_hit` skip. Exact — rays
     are independent in the kernel, and the permutation is inverted on the
-    outputs. The env gate is read at trace time; tests toggling it must
-    pass `compact` explicitly.
+    outputs. Default off until the added XLA gathers are measured on TPU:
+    row-gathers of ~28K rays x (3 in + 5 out) channels per pose could cost
+    more than the skipped marching if TPU gather throughput is as poor as
+    the hashgrid measurements suggested (~300 ms for ~8M element-gathers).
+    The env gate is read at trace time; tests toggling it must pass
+    `compact` explicitly.
     """
     import os
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if compact is None:
-        compact = os.environ.get("D2R_MARCH_COMPACT", "1") != "0"
+        compact = os.environ.get("D2R_MARCH_COMPACT", "0") == "1"
     n_rays = dirs.shape[0]
     block_rays = min(block_rays, max(128, n_rays))
     S = settings.n_coarse
