@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -31,66 +30,13 @@ import numpy as np
 
 BASELINE_POSES_PER_S = 60.0  # documented estimate, see module docstring
 
-# Warm (second) dispatch of a tiny matmul slower than this means the worker
-# is in one of its documented degraded windows — measuring then would record
-# a number off by 10-100x. Generous: healthy warm dispatch is ~25-50 ms.
-_HEALTH_WARM_S = 5.0
-
-_HEALTH_PROBE = """
-import time, jax, jax.numpy as jnp
-x = jnp.ones((512, 512), jnp.bfloat16)
-f = jax.jit(lambda a: (a @ a).sum())
-float(f(x))  # compile + first dispatch (tunnel warm-up may be slow)
-t0 = time.time(); float(f(x)); dt = time.time() - t0
-print(f"warm_dispatch_s={dt:.3f}")
-import sys; sys.exit(0 if dt < %f else 3)
-""" % _HEALTH_WARM_S
-
-
-def _wait_tpu_healthy():
-    """Block (bounded) until the TPU worker answers a tiny matmul at normal
-    speed. The axon worker intermittently wedges or degrades for 5-30+ min
-    (CLAUDE.md); benching through such a window records a garbage number.
-    Probes run in a subprocess so a wedged runtime can be timed out cleanly.
-    Budget via D2R_BENCH_HEALTH_WAIT_S (0 disables); on exhaustion we proceed
-    anyway — a flagged number beats no number."""
-    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
-        return
-    budget = float(os.environ.get("D2R_BENCH_HEALTH_WAIT_S", "1800"))
-    if budget <= 0:
-        return
-    deadline = time.time() + budget
-    attempt = 0
-    while True:
-        attempt += 1
-        try:
-            # Clamp each probe to the remaining budget (60 s floor so a
-            # healthy-but-cold first compile is not misread as a wedge).
-            probe_timeout = min(240.0, max(60.0, deadline - time.time()))
-            r = subprocess.run(
-                [sys.executable, "-c", _HEALTH_PROBE],
-                timeout=probe_timeout, capture_output=True, text=True,
-            )
-            ok = r.returncode == 0
-            detail = (r.stdout or r.stderr).strip().splitlines()[-1:] or [""]
-            detail = detail[0]
-        except subprocess.TimeoutExpired:
-            ok, detail = False, "probe timed out (wedged)"
-        if ok:
-            print(f"# tpu health ok (attempt {attempt}: {detail})", file=sys.stderr)
-            return
-        if time.time() >= deadline:
-            print(
-                f"# WARNING: tpu still unhealthy after {budget:.0f}s "
-                f"({detail}); benching anyway", file=sys.stderr,
-            )
-            return
-        print(f"# tpu unhealthy (attempt {attempt}: {detail}); retrying", file=sys.stderr)
-        time.sleep(min(45.0, max(1.0, deadline - time.time())))
-
 
 def main():
-    _wait_tpu_healthy()
+    # The bench is run unattended; landing in one of the worker's documented
+    # wedge/degraded windows would hang it or record a number off by 10-100x.
+    from dream2real_tpu.utils.health import wait_tpu_healthy
+
+    wait_tpu_healthy(1800.0, env_var="D2R_BENCH_HEALTH_WAIT_S")
     t_start = time.time()
     import jax
     import jax.numpy as jnp
