@@ -34,7 +34,8 @@ NGP_OVERRIDES = {
 }
 
 
-def _run(cfg_path, data_dir, cfg_edit=None, embodied=False):
+def _run(cfg_path, data_dir, cfg_edit=None, embodied=False,
+         caption_backend=None, keep_tm=None):
     from dream2real_tpu.engine import ImaginationEngine
 
     cfg = Config(cfg_path, data_dir)
@@ -43,9 +44,12 @@ def _run(cfg_path, data_dir, cfg_edit=None, embodied=False):
     eng = ImaginationEngine(
         cfg, llm_backend=tp._fake_llm, clip_loader=tp._tiny_clip_loader,
         ngp_overrides=NGP_OVERRIDES, embodied=embodied,
+        caption_backend=caption_backend,
     )
     eng.build_scene_model()
     tm = eng.interpret_user_instr(INSTR)
+    if keep_tm is not None:
+        keep_tm.append(tm)
     best = eng.dream_best_pose(tm, vis_cost_vol=False)
     return eng, best
 
@@ -188,3 +192,84 @@ def test_physics_only_pipeline(seeded):
     assert os.path.exists(viewer)
     html = open(viewer).read()
     assert "movable" in html and '"frame"' in html
+
+
+@pytest.mark.slow
+def test_multiview_captioning_pipeline(seeded):
+    """caption=True + multi_view_captions=True: the BLIP-2 orchestration
+    (per-view masked thumbnails, LLM aggregation, captions.json write —
+    caption.py:55-177) runs end-to-end with an injected caption backend."""
+    data_dir = seeded["data_dir"]
+    cache = os.path.join(data_dir, "captions.json")
+    orig = open(cache).read()
+    calls = []
+
+    def backend(imgs):
+        calls.append(len(imgs))
+        assert all(im.ndim == 3 and im.dtype == np.uint8 for im in imgs)
+        return [f"a box (view {i})" for i in range(len(imgs))]
+
+    edit = dict(ALL_CACHED, use_cache_renders=False, caption=True,
+                multi_view_captions=True)
+    try:
+        eng, best = _run(seeded["cfg_path"], data_dir, cfg_edit=edit,
+                         caption_backend=backend)
+        assert best.shape == (4, 4) and np.isfinite(best).all()
+        # Every non-background object must contribute >=1 thumbnail.
+        assert calls and sum(calls) >= 3, calls
+        agg = json.load(open(cache))
+        assert agg[0] == "__background__"
+        # Multi-view aggregation routes through the LLM (-> "a box").
+        assert all(c == "a box" for c in agg[1:]), agg
+        assert [o.name for o in eng.scene_model.objs] == agg
+    finally:
+        open(cache, "w").write(orig)
+
+
+@pytest.mark.slow
+def test_single_view_captioning_pipeline(seeded):
+    """multi_view_captions=False: one thumbnail per object from
+    single_view_idx, caption used verbatim (no LLM aggregation)."""
+    data_dir = seeded["data_dir"]
+    cache = os.path.join(data_dir, "captions.json")
+    orig = open(cache).read()
+
+    def backend(imgs):
+        return [f"obj seen once #{i}" for i in range(len(imgs))]
+
+    edit = dict(ALL_CACHED, use_cache_renders=False, caption=True,
+                multi_view_captions=False)
+    try:
+        eng, best = _run(seeded["cfg_path"], data_dir, cfg_edit=edit,
+                         caption_backend=backend)
+        assert np.isfinite(best).all()
+        agg = json.load(open(cache))
+        assert agg[0] == "__background__"
+        assert all(c.startswith("obj seen once") for c in agg[1:]), agg
+    finally:
+        open(cache, "w").write(orig)
+
+
+@pytest.mark.slow
+def test_render_distractors_pipeline(seeded):
+    """render_distractors=True: distractor objects stay IN the task
+    background (scene_model.py:60-96 via engine.py:373) — only the movable
+    object is masked out of the bg task NeRF."""
+    tms = []
+    edit = dict(ALL_CACHED, use_cache_vis=False, use_cache_renders=False,
+                render_distractors=True)
+    eng, best = _run(seeded["cfg_path"], seeded["data_dir"], cfg_edit=edit,
+                     keep_tm=tms)
+    assert best.shape == (4, 4) and np.isfinite(best).all()
+    tm = tms[0]
+    masks = np.asarray(eng.scene_model.masks)
+    oob = np.asarray(eng.out_scene_bound_masks).astype(bool)
+    movable_idx = tm.movable_obj.mask_idx
+    bg = np.asarray(tm.task_bground_masks).astype(bool)
+    # Movable pixels masked out of the background...
+    assert bg[masks == movable_idx].all()
+    # ...while the distractor (fake LLM marks object 3) and every other
+    # in-bounds object pixel stays renderable in the bg model.
+    keep = (masks != movable_idx) & ~oob
+    assert movable_idx != 3 and keep[masks == 3].any()
+    assert not bg[keep].any()
