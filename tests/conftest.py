@@ -31,3 +31,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="session")
+def _protect_package_lang_cache():
+    """The engine falls back to the package-level LLM cache
+    (dream2real_tpu/lang/cache.json — the hermetic demo's fixture) when a
+    data dir has no lang_cache.json, and LangModel writes through to it by
+    design (llm.py:13 parity). Tests must not persist their fake-backend
+    completions into that version-controlled file; snapshot and restore it
+    around the session."""
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "dream2real_tpu", "lang", "cache.json"
+    )
+    before = open(path, "rb").read()
+    yield
+    if open(path, "rb").read() != before:
+        open(path, "wb").write(before)
