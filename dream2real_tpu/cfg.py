@@ -89,6 +89,15 @@ class Config:
             self.render_res = eng.get("render_res", 336)
             # False -> fused on-device render+score (no cb_render artifacts).
             self.save_renders = eng.get("save_renders", True)
+            # CLIP 9-template score averaging (reference exposes it as an
+            # optimise_pose_grid parameter, clip_scoring.py:78,155-161, and
+            # hardcodes False at the call site, dream2real.py:350; here it is
+            # a config knob).
+            self.use_templates = eng.get("use_templates", False)
+            # CLIP image batch per device. The reference picks 128 vs 32 by
+            # VRAM (clip_scoring.py:167-169); on v5e, 32 measured fastest
+            # (PERF.md) and the fused program caps at 32 regardless.
+            self.clip_batch = eng.get("clip_batch", 256)
 
         # trainer (cfg.py:56-68)
         tr = config["trainer"]

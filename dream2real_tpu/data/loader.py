@@ -75,9 +75,13 @@ class D2RDataLoader:
         self.T_WC_data = jnp.asarray(T_WC.astype(np.float32))
         return self.rgb_data, self.depth_data, self.T_WC_data
 
-    def remove_background(self, intrinsics, scene_phys_bounds, use_cache: bool = False):
+    def remove_background(self, intrinsics, scene_phys_bounds, use_cache: bool = False,
+                          distortion=None):
         """Dynamic masks: 255 where a valid-depth pixel back-projects OUTSIDE
         the scene physical bounds, then dilate+erode 50px. 0 = inside scene.
+
+        distortion: optional Brown-Conrady coefficients (k1,k2,p1,p2,k3,k4);
+        back-projection then uses undistorted per-pixel rays.
         """
         out_path = os.path.join(self.root_dir, "images")
         if use_cache:
@@ -96,6 +100,7 @@ class D2RDataLoader:
             self.T_WC_data,
             jnp.asarray(np.asarray(intrinsics, np.float32)),
             bounds,
+            distortion=distortion,
         )
         masks_np = np.asarray(masks)
         for idx in range(self.size):
@@ -107,27 +112,43 @@ class D2RDataLoader:
         return masks
 
 
-def compute_dynamic_masks(depths, T_WC, intrinsics, scene_phys_bounds) -> jnp.ndarray:
+def compute_dynamic_masks(depths, T_WC, intrinsics, scene_phys_bounds,
+                          distortion=None) -> jnp.ndarray:
     """(N, H, W) depths -> (N, H, W) uint8 dynamic masks, jitted.
 
     Parity: data_loader.py:86-111 (incl. the world-z > -0.40 pre-filter and
-    the 50 px dilate-then-erode closing).
+    the 50 px dilate-then-erode closing). With `distortion`, per-pixel rays
+    are iteratively undistorted (same model as training rays, ops/cameras.py).
     """
+    from dream2real_tpu.ops import cameras
+
     lo = jnp.asarray(scene_phys_bounds[0], jnp.float32)
     hi = jnp.asarray(scene_phys_bounds[1], jnp.float32)
     fx, fy = intrinsics[0, 0], intrinsics[1, 1]
     cx, cy = intrinsics[0, 2], intrinsics[1, 2]
     h, w = depths.shape[1:3]
-    us = (jnp.arange(w, dtype=jnp.float32) - cx) / fx
-    vs = (jnp.arange(h, dtype=jnp.float32) - cy) / fy
+    distortion = cameras.normalize_distortion(distortion)
+    if distortion is not None:
+        # Non-separable per-pixel rays (snap_to_pixel_centers=False keeps the
+        # pinhole branch's arange-cx convention).
+        dirs = cameras.pixel_dirs(
+            h, w, intrinsics, jnp.asarray(distortion),
+            snap_to_pixel_centers=False,
+        )
+        us_map, vs_map = dirs[..., 0], dirs[..., 1]
+    else:
+        us = (jnp.arange(w, dtype=jnp.float32) - cx) / fx
+        vs = (jnp.arange(h, dtype=jnp.float32) - cy) / fy
+        us_map = jnp.broadcast_to(us[None, :], (h, w))
+        vs_map = jnp.broadcast_to(vs[:, None], (h, w))
 
     @jax.jit
     def one(depth, T):
         # Open3D create_from_depth_image uses extrinsic = T_cw and builds
         # points in WORLD frame as inv(T_cw) applied... the reference passes
         # T_cw = inv(T_WC), so points land in the world frame.
-        x_cam = depth * us[None, :]
-        y_cam = depth * vs[:, None]
+        x_cam = depth * us_map
+        y_cam = depth * vs_map
         z_cam = depth
         R, t = T[:3, :3], T[:3, 3]
         px = R[0, 0] * x_cam + R[0, 1] * y_cam + R[0, 2] * z_cam + t[0]

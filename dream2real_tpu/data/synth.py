@@ -106,10 +106,19 @@ def render_scene(
     intrinsics: np.ndarray,
     h: int,
     w: int,
+    distortion=None,
 ):
     """Analytic render. Returns (rgb u8 (h,w,3) sRGB, depth_m f32 (h,w),
-    instance ids u8 (h,w): 0=plane/bg, 1..K=boxes, 255=sky)."""
-    dirs_cam = np.asarray(cameras.pixel_dirs(h, w, intrinsics))
+    instance ids u8 (h,w): 0=plane/bg, 1..K=boxes, 255=sky).
+
+    distortion: optional Brown-Conrady coefficients (k1,k2,p1,p2,k3,k4) —
+    renders the image a DISTORTED camera would capture (each pixel traces
+    its undistorted ray; depth stays z-depth along that ray), matching the
+    reference's real-scan camera model (cfg.py:101-112).
+    """
+    distortion = cameras.normalize_distortion(distortion)
+    dist_j = None if distortion is None else np.asarray(distortion)
+    dirs_cam = np.asarray(cameras.pixel_dirs(h, w, intrinsics, dist_j))
     R, t = T_WC[:3, :3], T_WC[:3, 3]
     dirs = dirs_cam @ R.T  # (h, w, 3) world, z-normalized in cam frame
     o = t[None, None, :]
@@ -162,6 +171,11 @@ def render_scene(
     return rgb, depth, inst
 
 
+#: A realistic RealSense-RGB-like Brown-Conrady coefficient set for the
+#: distorted-dataset variant (k1, k2, p1, p2, k3, k4).
+DEFAULT_DISTORTION = (-0.12, 0.03, 0.0008, -0.0006, 0.0, 0.0)
+
+
 def write_dataset(
     out_dir: str,
     scene: SynthScene | None = None,
@@ -169,6 +183,7 @@ def write_dataset(
     h: int = 180,
     w: int = 320,
     intrinsics: np.ndarray | None = None,
+    distortion=None,
 ) -> dict:
     """Write a Dream2Real-format dataset directory from an analytic scene.
 
@@ -189,10 +204,13 @@ def write_dataset(
     for sub in ("images", "depth", "masks"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
+    distortion = cameras.normalize_distortion(distortion)
     poses = orbit_poses(scene.centre, n_views)
     frames = []
     for i in range(n_views):
-        rgb, depth, inst = render_scene(scene, poses[i], intrinsics, h, w)
+        rgb, depth, inst = render_scene(
+            scene, poses[i], intrinsics, h, w, distortion=distortion
+        )
         Image.fromarray(rgb).save(os.path.join(out_dir, "images", f"rgb_{i:04d}.png"))
         depth_mm = np.clip(depth * 1000.0, 0, 65535).astype(np.uint16)
         Image.fromarray(depth_mm).save(
@@ -210,10 +228,15 @@ def write_dataset(
 
     np.savetxt(os.path.join(out_dir, "poses.txt"), poses.reshape(-1, 4))
 
+    d = (
+        [0.0] * 6
+        if distortion is None
+        else [float(v) for v in np.asarray(distortion)]
+    )  # order: k1, k2, p1, p2, k3, k4 (cfg.distortion_array)
     transforms = {
         "fl_x": intrinsics[0, 0],
         "fl_y": intrinsics[1, 1],
-        "k1": 0.0, "k2": 0.0, "k3": 0.0, "k4": 0.0, "p1": 0.0, "p2": 0.0,
+        "k1": d[0], "k2": d[1], "k3": d[4], "k4": d[5], "p1": d[2], "p2": d[3],
         "is_fisheye": False,
         "cx": intrinsics[0, 2],
         "cy": intrinsics[1, 2],
@@ -230,6 +253,7 @@ def write_dataset(
         "scene_centre": list(scene.centre),
         "scene_phys_bounds": [[0.1, -0.5, -0.05], [0.9, 0.5, 0.6]],
         "n_objects": len(scene.boxes),
+        "distortion": d,
         "intrinsics": intrinsics.tolist(),
         "h": h,
         "w": w,
@@ -253,7 +277,12 @@ def write_dataset(
 if __name__ == "__main__":
     import sys
 
-    out = sys.argv[1] if len(sys.argv) > 1 else "./synth_dataset"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 24
-    write_dataset(out, n_views=n)
-    print(f"Wrote synthetic dataset to {out}")
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    out = args[0] if args else "./synth_dataset"
+    n = int(args[1]) if len(args) > 1 else 24
+    dist = DEFAULT_DISTORTION if "--distort" in sys.argv else None
+    write_dataset(out, n_views=n, distortion=dist)
+    print(
+        f"Wrote synthetic dataset to {out}"
+        + (f" (Brown-Conrady distortion {dist})" if dist else "")
+    )

@@ -88,6 +88,15 @@ class ImaginationEngine:
         self.physics_only = cfg.physics_only
         self.single_view_idx = cfg.single_view_idx
         self.sample_bounds = getattr(cfg, "sample_bounds", None)
+        self.use_templates = getattr(cfg, "use_templates", False)
+        self.clip_batch = getattr(cfg, "clip_batch", 256)
+        from dream2real_tpu.ops.cameras import normalize_distortion
+
+        # Brown-Conrady lens model of the scan camera (reference camera
+        # block, cfg.py:101-112); None for pinhole configs.
+        self.distortion = normalize_distortion(
+            getattr(cfg, "distortion_array", None)
+        )
         self.ngp_overrides = ngp_overrides or {}
 
         self.depths_gt = None
@@ -147,6 +156,7 @@ class ImaginationEngine:
             self.out_scene_bound_masks = dataloader.remove_background(
                 intrinsics, self.scene_phys_bounds,
                 use_cache=self.use_cache_dynamic_masks,
+                distortion=self.distortion,
             )
         self.depths_gt = np.stack(
             [np.asarray(depths[i]) for i in self.render_cam_pose_idx]
@@ -207,6 +217,7 @@ class ImaginationEngine:
                     save_dir=os.path.join(self.data_dir, "phys_mods/"),
                     vis=False, use_cache=self.use_cache_phys,
                     use_phys_tsdf=self.use_phys_tsdf,
+                    distortion=self.distortion,
                 )
 
         if self.caption:
@@ -241,7 +252,7 @@ class ImaginationEngine:
         self.scene_model = SceneModel(
             self.scene_centre, objs, objs[0], np.asarray(rgbs), depths,
             opt_cam_poses, intrinsics, masks, self.scene_phys_bounds,
-            self.scene_type,
+            self.scene_type, distortion=self.distortion,
         )
 
     # ------------------------------------------------------------------
@@ -335,7 +346,7 @@ class ImaginationEngine:
             self._score_prefetch = start_scoring_prefetch(
                 self._get_clip,
                 goal_caption, norm_captions,
-                use_templates=False,
+                use_templates=self.use_templates,
                 data_dir=self.data_dir,
                 scene_phys_bounds=self.scene_phys_bounds,
                 field_overrides=self.ngp_overrides.get("field"),
@@ -350,6 +361,9 @@ class ImaginationEngine:
                 save_renders=getattr(self.cfg, "save_renders", True),
                 scoring=want_scoring,
                 phys=phys_spec,
+                # Upper bound on the valid candidate count, for the mesh/slab
+                # decision when the physics prefetch can't supply the real one.
+                n_poses_hint=int(np.prod(self.sample_res)),
             )
 
         depths_np = np.asarray(self.scene_model.depths)
@@ -407,14 +421,28 @@ class ImaginationEngine:
                     params, ccfg = load_clip()
                     print("Loaded CLIP ViT-L/14-336 weights.")
                 except FileNotFoundError:
+                    # Without real weights the pipeline would still run and
+                    # write a semantically meaningless goal_pose.txt — that
+                    # must be a loud failure, not a warning, unless the run
+                    # explicitly opts in (hermetic demos, mechanics tests).
+                    if os.environ.get("D2R_ALLOW_RANDOM_CLIP") != "1":
+                        raise RuntimeError(
+                            "No local CLIP checkpoint found (reference scorer: "
+                            "openai/clip-vit-large-patch14-336, "
+                            "clip_scoring.py:150-151). Set D2R_CLIP_PATH to a "
+                            "checkpoint for real scoring, or set "
+                            "D2R_ALLOW_RANDOM_CLIP=1 to proceed with a small "
+                            "RANDOM CLIP whose scores are self-consistent but "
+                            "not semantic (goal_pose.txt will be meaningless)."
+                        ) from None
                     import jax
 
                     from dream2real_tpu.clip.model import CLIPConfig, init_clip_params
 
                     print(
                         "WARNING: no local CLIP checkpoint found — using a "
-                        "small RANDOM CLIP. Scores are self-consistent but "
-                        "not semantic. Set D2R_CLIP_PATH for real scoring."
+                        "small RANDOM CLIP (D2R_ALLOW_RANDOM_CLIP=1). Scores "
+                        "are self-consistent but not semantic."
                     )
                     ccfg = CLIPConfig(
                         image_size=336, patch_size=28, vision_width=128,
@@ -422,7 +450,7 @@ class ImaginationEngine:
                         text_layers=2, text_heads=4, projection_dim=64,
                     )
                     params = init_clip_params(jax.random.PRNGKey(0), ccfg)
-            self._clip_scorer = ClipScorer(params, ccfg)
+            self._clip_scorer = ClipScorer(params, ccfg, batch_size=self.clip_batch)
             self._tokenizer = ClipTokenizer(
                 context_length=ccfg.context_length, vocab_size=ccfg.vocab_size
             )
@@ -570,7 +598,7 @@ class ImaginationEngine:
                     self.data_dir,
                     sample_res=self.sample_res,
                     phys_check=phys_check,
-                    use_templates=False,
+                    use_templates=self.use_templates,
                     scene_type=self.scene_type,
                     use_vis_pcds=self.use_vis_pcds,
                     use_cache_renders=self.use_cache_renders,

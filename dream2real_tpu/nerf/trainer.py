@@ -14,8 +14,20 @@ Replaces the pyngp training driver (reference reconstruction/train_ngp.py:42-162
   instead of per 0.1 s wall-clock tick.
 
 Multi-chip: rays are embarrassingly parallel; `train_chunk` accepts an
-optional jax.sharding.Sharding for the ray batch and replicates parameters
-(grads are combined by XLA's reduction of the sharded loss).
+optional jax.sharding.Sharding for the ray batch and replicates parameters.
+Two lowerings, picked automatically:
+
+- XLA fallback path: `with_sharding_constraint` on the sampled rays; GSPMD
+  partitions the render and reduces the loss. Bitwise-equal to the
+  single-device program modulo f32 reduction order (tested on the 8-dev CPU
+  mesh, tests/test_parallel_imagine.py).
+- fused pallas-kernel path: GSPMD cannot partition a tpu custom_call, so the
+  whole step chunk runs under `jax.shard_map` — every device samples the SAME
+  global ray batch (replicated RNG), takes its axis_index slice, runs the
+  fused kernel on local rays, and grads/loss are `pmean`ed before the
+  (replicated) optimizer update. The per-ray sampling jitter key is folded
+  with the device index, so numerics match single-device statistically, not
+  bitwise.
 """
 
 from __future__ import annotations
@@ -149,7 +161,23 @@ def make_train_chunk(
     """
     n_img, h, w = images_rgba.shape[:3]
 
-    if tc.optimize_extrinsics and _use_train_kernel(cfg):
+    use_kernel = _use_train_kernel(cfg)
+    # Pallas custom_calls are opaque to GSPMD: when the fused kernel is on
+    # and a ray sharding is requested, run the whole chunk under shard_map
+    # (see module docstring). The XLA path keeps the sharding-constraint
+    # lowering, whose numerics are bitwise-testable against single-device.
+    mesh = getattr(ray_sharding, "mesh", None) if ray_sharding is not None else None
+    shard_train = mesh is not None and use_kernel
+    if shard_train:
+        from jax.sharding import PartitionSpec as P
+
+        from dream2real_tpu.parallel.mesh import DATA_AXIS
+
+        n_dev = mesh.size
+        assert tc.batch_rays % n_dev == 0, (tc.batch_rays, n_dev)
+        n_local = tc.batch_rays // n_dev
+
+    if tc.optimize_extrinsics and use_kernel:
         # The fused kernel's VJP returns only the dominant gradient term wrt
         # origins/dirs (drops the |d| scale, SH-basis and ray-aabb-ts paths —
         # see train_kernel.py module docstring). Pose refinement still
@@ -182,6 +210,18 @@ def make_train_chunk(
     def loss_fn(params, key, step):
         k_batch, k_render = jax.random.split(key)
         img_idx, py, px, bg = sample_batch(k_batch)
+        if shard_train:
+            # Replicated sampling (same key everywhere) -> each device takes
+            # its slice of the SAME global batch; local mean + pmean below
+            # reproduces the single-device global-mean loss/grads.
+            idx = jax.lax.axis_index(DATA_AXIS)
+            off = idx * n_local
+
+            def _sl(a):
+                return jax.lax.dynamic_slice_in_dim(a, off, n_local, 0)
+
+            img_idx, py, px, bg = _sl(img_idx), _sl(py), _sl(px), _sl(bg)
+            k_render = jax.random.fold_in(k_render, idx)
         target = images_rgba[img_idx, py, px].astype(jnp.float32) / 255.0
         target_rgb = srgb_to_linear(target[:, :3])
         target_a = target[:, 3]
@@ -215,11 +255,11 @@ def make_train_chunk(
         d_cam = dirs_cam[py, px]  # (B, 3)
         dirs = jnp.einsum("bij,bj->bi", T[:, :3, :3], d_cam)
         origins = T[:, :3, 3]
-        if ray_sharding is not None:
+        if ray_sharding is not None and not shard_train:
             origins = jax.lax.with_sharding_constraint(origins, ray_sharding)
             dirs = jax.lax.with_sharding_constraint(dirs, ray_sharding)
 
-        if _use_train_kernel(cfg):
+        if use_kernel:
             # Fused pallas forward+backward (train_kernel.py): the XLA
             # lowering is HBM-bound at ~21% MFU; the kernel keeps per-sample
             # activations in VMEM (recompute-in-backward).
@@ -257,6 +297,11 @@ def make_train_chunk(
         params, opt, step, key = carry
         key, sub = jax.random.split(key)
         loss, grads = jax.value_and_grad(loss_fn)(params, sub, step)
+        if shard_train:
+            # Combine the per-device slices' grads; the optimizer update then
+            # runs replicated (identical on every device).
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            grads = jax.lax.pmean(grads, DATA_AXIS)
         if not tc.optimize_extrinsics:
             grads["ext_rot"] = jnp.zeros_like(grads["ext_rot"])
             grads["ext_trans"] = jnp.zeros_like(grads["ext_trans"])
@@ -264,8 +309,7 @@ def make_train_chunk(
         params = optax.apply_updates(params, updates)
         return (params, opt, step + 1, key), loss
 
-    @jax.jit
-    def train_chunk(state):
+    def chunk_body(state):
         carry = (state["params"], state["opt"], state["step"], state["key"])
         carry, losses = jax.lax.scan(one_step, carry, None, length=tc.poll_steps)
         params, opt, step, key = carry
@@ -274,6 +318,15 @@ def make_train_chunk(
             losses.mean(),
         )
 
+    if shard_train:
+        train_chunk = jax.jit(
+            jax.shard_map(
+                chunk_body, mesh=mesh, in_specs=(P(),), out_specs=(P(), P()),
+                check_vma=False,
+            )
+        )
+    else:
+        train_chunk = jax.jit(chunk_body)
     return train_chunk
 
 

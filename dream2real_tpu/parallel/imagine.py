@@ -69,9 +69,15 @@ def make_imagine_and_score(
             render_pose_cropped,
         )
 
+        import os
+
         # Uniform sampling: tight march range makes hierarchical resampling
         # pure overhead (~19ms/pose for the pdf machinery on v5e).
-        crop_settings = crop_settings or settings._replace(n_coarse=32, n_fine=0)
+        # D2R_CROP_SAMPLES tunes the per-ray sample count (see
+        # combined.CombinedRenderer).
+        crop_settings = crop_settings or settings._replace(
+            n_coarse=int(os.environ.get("D2R_CROP_SAMPLES", "32")), n_fine=0
+        )
         K = jnp.asarray(intrinsics)
 
     def render_one(fg_params, T_WO_1, T_WC_1, bg, bg_only, T_WO_2):
@@ -97,7 +103,10 @@ def make_imagine_and_score(
         groups = poses.reshape(k // clip_batch, clip_batch, 4, 4)
         bg_only = background_only_image(bg) if use_crop else None
 
-        rv = render_batch if use_crop and clip_batch % max(render_batch, 1) == 0 else 1
+        import os
+
+        rb = int(os.environ.get("D2R_RENDER_BATCH", str(render_batch)))
+        rv = rb if use_crop and clip_batch % max(rb, 1) == 0 else 1
 
         def group_body(carry, pose_group):
             # vmap `rv` cropped renders per step: one 128^2 x 32-sample march

@@ -46,13 +46,25 @@ class PointCloudRenderer:
         self.K = np.asarray(intrinsics if intrinsics is not None else INTRINSICS_CLIP_VIEW)
 
     def render(self, render_pose, pose_batch, task_model, hide_movable: bool = False):
-        """One render per movable pose. Returns list of (336,336,3) u8 RGB."""
-        if hide_movable:
-            raise NotImplementedError
+        """One render per movable pose. Returns list of (336,336,3) u8 RGB.
+
+        hide_movable=True renders the task background WITHOUT the movable
+        object (one identical frame per requested pose, so the return shape
+        contract holds). The reference declares this parameter but its own
+        branch raises NotImplementedError (pcd_visual_model.py:152-153, the
+        signature is at :111); this implements the declared intent.
+        """
         bg_pcd = task_model.task_bground_obj.vis_model
+        pose_batch = np.asarray(pose_batch).reshape(-1, 4, 4)
+        if hide_movable:
+            img, _ = splat(
+                bg_pcd.points, bg_pcd.colors,
+                np.asarray(render_pose, np.float64), self.K,
+            )
+            img[np.all(img > 220, axis=-1)] = 0
+            return [img.copy() for _ in range(len(pose_batch))]
         mv_pcd = task_model.movable_obj.vis_model
         old_pose = np.asarray(task_model.movable_obj.pose, np.float64).reshape(4, 4)
-        pose_batch = np.asarray(pose_batch).reshape(-1, 4, 4)
 
         out = []
         for pose in pose_batch:

@@ -120,6 +120,18 @@ def make_unsupcol_check(
     not read as solid, else an object resting ON the table registers as
     colliding — Bullet's pairwise_collision fires on penetration, not contact.
     """
+    if pose_sharding is None:
+        # Production default: shard the pose batch over all visible devices
+        # (replaces the reference's sequential per-pose CPU loop,
+        # physics_utils.py:308-370). The occupancy grid replicates; only the
+        # (N,) validity vector gathers.
+        from dream2real_tpu.parallel.mesh import auto_mesh
+        from dream2real_tpu.parallel.mesh import pose_sharding as _ps
+
+        mesh = auto_mesh()
+        if mesh is not None:
+            pose_sharding = _ps(mesh)
+
     occ = bg_grid.occupancy(tsdf_occ_thresh).astype(jnp.float32)
     origin = jnp.asarray(bg_grid.origin)
     voxel = bg_grid.voxel_size

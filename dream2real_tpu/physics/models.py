@@ -65,6 +65,7 @@ def get_phys_models(
     voxel_size: float = 0.004,
     max_points: int = 4096,
     pcd_mask_erosion: int = 15,
+    distortion=None,
 ):
     """Build physics models for objects 0..num_objs-1 (0 = background).
 
@@ -110,7 +111,7 @@ def get_phys_models(
         return _get_phys_models_pcd(
             np.asarray(depths), np.asarray(poses_arr), np.asarray(K),
             masks_np, num_objs, scene_bounds, save_dir, max_points,
-            mask_erosion=pcd_mask_erosion,
+            mask_erosion=pcd_mask_erosion, distortion=distortion,
         )
 
     if use_vis_pcds:
@@ -132,6 +133,7 @@ def get_phys_models(
             scene_bounds,
             voxel_size=voxel_size,
             erosion_kernel=erosion,
+            distortion=distortion,
         )
         verts, faces = mesh_ops.extract_mesh(grid)
         verts, faces = mesh_ops.crop_mesh(verts, faces, scene_bounds)
@@ -190,7 +192,7 @@ def _pad_points(pts: np.ndarray, max_points: int) -> np.ndarray:
 
 def _get_phys_models_pcd(
     depths, cam_poses, K, masks, num_objs, scene_bounds, save_dir, max_points,
-    mask_erosion: int = 15,
+    mask_erosion: int = 15, distortion=None,
 ):
     """The ``use_phys_tsdf=False`` path (physics_utils.py:121-167 + 381-401):
     per-object point cloud -> statistical outlier removal -> Poisson
@@ -212,6 +214,18 @@ def _get_phys_models_pcd(
     lo = np.asarray(scene_bounds[0], np.float32)
     hi = np.asarray(scene_bounds[1], np.float32)
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    from dream2real_tpu.ops import cameras
+
+    distortion = cameras.normalize_distortion(distortion)
+    dirs_map = None
+    if distortion is not None:
+        h_img, w_img = np.asarray(depths[0]).shape
+        dirs_map = np.asarray(
+            cameras.pixel_dirs(
+                h_img, w_img, np.asarray(K), jnp.asarray(distortion),
+                snap_to_pixel_centers=False,
+            )
+        )
     # physics_utils.py:129-131 (15 px at reference resolution; parameterised
     # so low-res tests/synth scenes don't erode small objects away entirely).
     kernel = np.ones((mask_erosion, mask_erosion), np.uint8)
@@ -227,9 +241,12 @@ def _get_phys_models_pcd(
             if len(vs) == 0:
                 continue
             z = depth[vs, us]
-            cam = np.stack(
-                [(us - cx) / fx * z, (vs - cy) / fy * z, z], axis=-1
-            )
+            if dirs_map is not None:
+                cam = dirs_map[vs, us] * z[:, None]
+            else:
+                cam = np.stack(
+                    [(us - cx) / fx * z, (vs - cy) / fy * z, z], axis=-1
+                )
             T = np.asarray(cam_poses[frame_id])
             pts = (cam @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
             inb = ((pts >= lo) & (pts <= hi)).all(axis=1)  # crop_bbox crop

@@ -61,11 +61,14 @@ def fuse_tsdf(
     trunc: float | None = None,
     erosion_kernel: int = 8,
     depth_max: float = 3.0,
+    distortion=None,
 ) -> TSDFGrid:
     """Fuse masked depth frames into a dense TSDF.
 
     erosion_kernel: mask erosion in pixels (physics_utils.py:77-83: 20 for the
     background object, 8 for foreground objects). trunc defaults to 3 voxels.
+    distortion: optional Brown-Conrady coefficients; voxel->pixel projection
+    then applies the forward lens model.
     """
     trunc = trunc if trunc is not None else 3.0 * voxel_size
     origin, dims = grid_coords(bounds, voxel_size)
@@ -78,6 +81,11 @@ def fuse_tsdf(
     # (X, Y, Z, 3) world voxel centers, built lazily inside jit.
     fx, fy = intrinsics[0, 0], intrinsics[1, 1]
     cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    from dream2real_tpu.ops.cameras import normalize_distortion
+
+    dist_arr = normalize_distortion(distortion)
+    if dist_arr is not None:
+        dist_arr = jnp.asarray(dist_arr)
 
     if erosion_kernel > 1:
         masks_f = erode(masks.astype(jnp.float32), erosion_kernel) > 0.5
@@ -98,8 +106,14 @@ def fuse_tsdf(
         cam_x = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + t[0]
         cam_y = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]
         cam_z = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
-        u = cam_x / cam_z * fx + cx
-        v = cam_y / cam_z * fy + cy
+        xn = cam_x / cam_z
+        yn = cam_y / cam_z
+        if dist_arr is not None:
+            from dream2real_tpu.ops.cameras import distort_coords
+
+            xn, yn = distort_coords(xn, yn, dist_arr)
+        u = xn * fx + cx
+        v = yn * fy + cy
         ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
         vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
         in_frustum = (

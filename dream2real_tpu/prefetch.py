@@ -77,9 +77,9 @@ def start_scoring_prefetch(
     depth_gt: Optional[np.ndarray],
     save_renders: bool,
     cfg_dir: Optional[str] = None,
-    slab_poses: int = 256,
     phys: Optional[dict] = None,
     scoring: bool = True,
+    n_poses_hint: Optional[int] = None,
 ) -> ScoringPrefetch:
     """Spawn the setup thread. Arguments mirror what `engine.dream_best_pose`
     + `scoring._fused_score` will reconstruct later; the consumer verifies
@@ -88,6 +88,10 @@ def start_scoring_prefetch(
     phys: optional dict(bg_phys=, fg_phys=, init_pose=, scene_centre=,
     sample_res=, scene_type=, bounds_override=, embodied=) — when given, the
     physics check is built AND evaluated over the real candidate grid.
+
+    n_poses_hint: expected VALID candidate count, used for the mesh/slab
+    decision (scoring._slab_spec) when the physics prefetch has not produced
+    the real validity mask; pass the full grid size as an upper bound.
     """
     handle = ScoringPrefetch()
 
@@ -219,11 +223,20 @@ def start_scoring_prefetch(
                 bg_view = renderer.render_background(eye, depth_gt, dummy_mask)
                 _sync(tuple(bg_view))
 
-            # ---- Fused score program warm-up at the first-slab shape.
+            # ---- Fused score program warm-up at the first-slab shape, with
+            # the same mesh/slab decision _fused_score will make (the real
+            # valid count when the physics prefetch produced it, else the
+            # caller's hint).
             from dream2real_tpu.parallel.imagine import make_imagine_and_score
+            from dream2real_tpu.scoring import _slab_spec
 
             n_norm = 0 if norm_captions is None else len(norm_captions)
             cb = min(32, clip_scorer.batch_size)
+            if out.get("is_valid") is not None:
+                k_pred = int(np.asarray(out["is_valid"]).sum())
+            else:
+                k_pred = n_poses_hint if n_poses_hint is not None else 1 << 30
+            mesh, slab, _quantum = _slab_spec(cb, k_pred)
             score_fn = make_imagine_and_score(
                 renderer.fg_cfg, clip_scorer.cfg, renderer.settings,
                 renderer.dirs_cam, n_norm_captions=n_norm,
@@ -231,10 +244,9 @@ def start_scoring_prefetch(
                 obj_aabb=renderer.obj_aabb, fg_crop=renderer.fg_crop,
                 crop_settings=renderer.crop_settings,
                 intrinsics=renderer.intrinsics, row_chunk=renderer.row_chunk,
-                return_renders=save_renders,
+                return_renders=save_renders, mesh=mesh,
             )
             if warm:
-                slab = max(cb, slab_poses // cb * cb)
                 chunk = jnp.tile(jnp.eye(4)[None], (slab, 1, 1))
                 r = score_fn(
                     dummy_fg, clip_scorer.params, eye, eye, bg_view, txt, chunk
@@ -243,6 +255,7 @@ def start_scoring_prefetch(
             out["score_fn"] = score_fn
             out["score_fn_key"] = (
                 n_norm, use_templates, cb, bool(save_renders),
+                1 if mesh is None else mesh.size,
             )
 
             # ---- Best-render re-render warm-up (k=1 chunk of render()).

@@ -37,6 +37,9 @@ from dream2real_tpu.nerf.trainer import (
 )
 from dream2real_tpu.ops import cameras
 
+#: Observability: sharding decision of the most recent build_vis_model run.
+LAST_TRAIN_INFO: dict = {}
+
 
 @dataclasses.dataclass
 class NGPModel:
@@ -243,6 +246,28 @@ def build_vis_model(
                 coords = coords[sel]
             fg_pixels = jnp.asarray(coords.astype(np.int32))
 
+    # Multi-chip: dp-shard the ray batch over the data mesh (SURVEY §2c —
+    # replaces nothing in the reference, which trains single-GPU via pyngp;
+    # here every visible chip contributes to every training step).
+    # D2R_TRAIN_BATCH_SCALE_MESH=1 additionally scales the global ray batch
+    # by the mesh size (constant per-chip work, larger effective batch) —
+    # default off so sharded and single-device runs keep identical training
+    # semantics.
+    from dream2real_tpu.parallel.mesh import auto_mesh, pose_sharding
+
+    mesh = auto_mesh()
+    ray_sharding = None
+    if mesh is not None:
+        if os.environ.get("D2R_TRAIN_BATCH_SCALE_MESH") == "1":
+            tc = dataclasses.replace(tc, batch_rays=tc.batch_rays * mesh.size)
+        if tc.batch_rays % mesh.size == 0:
+            ray_sharding = pose_sharding(mesh)
+    LAST_TRAIN_INFO.clear()
+    LAST_TRAIN_INFO.update(
+        mesh_devices=1 if ray_sharding is None else mesh.size,
+        batch_rays=tc.batch_rays,
+    )
+
     chunk = make_train_chunk(
         ngp_cfg,
         tc,
@@ -252,6 +277,7 @@ def build_vis_model(
         dirs_cam,
         depths=None if depths is None else jnp.asarray(depths),
         fg_pixels=fg_pixels,
+        ray_sharding=ray_sharding,
     )
     state, losses = train_with_governor(chunk, state, tc, log_fn=log_fn)
 

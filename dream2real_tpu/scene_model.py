@@ -41,6 +41,7 @@ class SceneModel:
     def __init__(
         self, scene_centre, objs, bground_obj, rgbs, depths, opt_cam_poses,
         intrinsics, masks, scene_bounds, scene_type, device=None,
+        distortion=None,
     ):
         self.objs = objs
         self.bground_obj = bground_obj
@@ -53,6 +54,9 @@ class SceneModel:
         self.masks = masks
         self.scene_bounds = scene_bounds
         self.scene_type = scene_type
+        # Brown-Conrady coefficients of the scan camera (None = pinhole);
+        # consumed by every depth back-/forward-projection site.
+        self.distortion = distortion
 
 
 class TaskModel:
@@ -171,6 +175,7 @@ class TaskModel:
             embodied=embodied, save_dir=save_dir, vis=vis, use_cache=use_cache,
             use_phys_tsdf=use_phys_tsdf, use_vis_pcds=use_vis_pcds,
             single_view_idx=single_view_idx, voxel_size=voxel_size,
+            distortion=getattr(scene_model, "distortion", None),
         )
 
     def free_visual_models(self):

@@ -20,6 +20,31 @@ import numpy as np
 from dream2real_tpu.sampling import get_virtual_cam_poses, sample_poses_grid
 from dream2real_tpu.smoothing import spatially_smooth_heatmap
 
+#: Observability: filled in by _fused_score with the sharding decision of the
+#: most recent run ({"n_poses", "mesh_devices", "slab", "clip_batch"}).
+LAST_RUN_INFO: dict = {}
+
+
+def _slab_spec(clip_batch: int, n_poses: int):
+    """(mesh, slab, quantum) for a scoring run.
+
+    Shared by _fused_score and the scoring prefetch (prefetch.py) so the
+    prefetched program is built with the same mesh decision and dispatch
+    shapes as the real run. Dispatches pad to `quantum` = n_dev * clip_batch
+    (each device's sub-batch must fill whole CLIP batches); the default slab
+    scales with the mesh so per-launch wall-clock stays constant (the
+    tunneled TPU runtime kills launches over ~1-2 min).
+    """
+    from dream2real_tpu.parallel.mesh import score_mesh_for
+
+    mesh = score_mesh_for(n_poses, clip_batch)
+    n_dev = 1 if mesh is None else mesh.size
+    q = n_dev * clip_batch
+    slab = int(os.environ.get("D2R_SCORE_SLAB", "0")) // q * q
+    if slab <= 0:
+        slab = max(q, (256 * n_dev) // q * q)
+    return mesh, slab, q
+
 
 def _fused_score(
     renderer, clip_scorer, tokenizer, task_model, valid_poses, render_poses,
@@ -57,6 +82,21 @@ def _fused_score(
     cb = min(32, clip_scorer.batch_size)
     save_dir = renderer.out_render_path if save_renders else None
 
+    # Multi-chip: shard the pose batch over the data mesh (parallel/mesh.py).
+    # This replaces the reference's single-device chunked CLIP loop
+    # (clip_scoring.py:167-185) with one sharded program per slab — renders
+    # and CLIP stay chip-local; only the (K,) score vector gathers over ICI.
+    poses = np.asarray(valid_poses, np.float32).reshape(-1, 4, 4)
+    k = len(poses)
+    mesh, slab, quantum = _slab_spec(cb, k)
+    n_dev = 1 if mesh is None else mesh.size
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update(
+        n_poses=k, mesh_devices=n_dev, slab=slab, clip_batch=cb
+    )
+    if mesh is not None:
+        print(f"# fused_score: pose batch sharded over {n_dev} devices")
+
     # Reuse the prefetched text embeddings + warmed score program when they
     # were built for exactly this renderer/scorer/caption set (prefetch.py);
     # the first slab then pays only compute, not compile/deserialize.
@@ -68,7 +108,7 @@ def _fused_score(
         and prefetch.get("clip_scorer") is clip_scorer
         and prefetch.get("captions") == captions
         and prefetch.get("score_fn_key")
-        == (n_norm, use_templates, cb, save_dir is not None)
+        == (n_norm, use_templates, cb, save_dir is not None, n_dev)
     ):
         txt = prefetch["txt"]
         score_fn = prefetch["score_fn"]
@@ -85,6 +125,7 @@ def _fused_score(
             obj_aabb=renderer.obj_aabb, fg_crop=renderer.fg_crop,
             crop_settings=renderer.crop_settings, intrinsics=renderer.intrinsics,
             row_chunk=renderer.row_chunk, return_renders=save_dir is not None,
+            mesh=mesh,
         )
         _lap("score_fn build")
     bg = renderer.render_background(
@@ -99,14 +140,6 @@ def _fused_score(
     _lap("bg render")
     T_WC = jnp.asarray(np.asarray(render_poses[0], np.float32))
     T_WO = jnp.asarray(np.asarray(T_WO_1, np.float32))
-    poses = np.asarray(valid_poses, np.float32).reshape(-1, 4, 4)
-    k = len(poses)
-    # D2R_SCORE_SLAB overrides for tests/tuning (rounded down to a clip-batch
-    # multiple); default 256 poses/dispatch keeps launches under the
-    # tunneled runtime's ~1-2 min kill window.
-    slab = int(os.environ.get("D2R_SCORE_SLAB", "0")) // cb * cb
-    if slab <= 0:
-        slab = max(cb, 256 // cb * cb)
     out = np.empty(k, np.float32)
 
     writer = futures = None
@@ -142,6 +175,7 @@ def _fused_score(
     # = ~23 GB of renders) never accumulates them all in HBM.
     pending: list = []  # (start, n, scores_dev, imgs_dev | None)
     pending_img_bytes = 0
+    peak_pending = 0
     img_bytes = slab * renderer.res * renderer.res * 3
     MAX_PENDING = int(os.environ.get("D2R_RENDER_PENDING_MB", "1536")) * 2**20
 
@@ -156,7 +190,7 @@ def _fused_score(
     for s in range(0, k, slab):
         chunk = poses[s : s + slab]
         n = len(chunk)
-        pad = (-n) % cb
+        pad = (-n) % quantum
         if pad:
             chunk = np.concatenate([chunk, np.tile(np.eye(4, dtype=np.float32)[None], (pad, 1, 1))])
         result = score_fn(
@@ -167,6 +201,7 @@ def _fused_score(
             scores, imgs = result
             pending.append((s, n, scores, imgs))
             pending_img_bytes += img_bytes
+            peak_pending = max(peak_pending, pending_img_bytes)
         else:
             pending.append((s, n, result, None))
         while pending_img_bytes > MAX_PENDING:
@@ -176,6 +211,7 @@ def _fused_score(
     while pending:
         _drain(pending.pop(0))
     _lap("all slabs (compute + score/render D2H)")
+    LAST_RUN_INFO["peak_pending_mb"] = round(peak_pending / 2**20, 1)
     if writer is not None:
         for f in futures:
             f.result()  # surface writer-thread exceptions

@@ -155,3 +155,74 @@ def test_fused_matches_unfused(rng, tmp_path):
     one = np.asarray(Image.open(tmp_path / "cb_one" / "cb_rgb_0009.png"))
     slb = np.asarray(Image.open(tmp_path / "cb_slab4" / "cb_rgb_0009.png"))
     np.testing.assert_array_equal(slb, one)
+
+
+def test_mesh_sharded_fused_score_matches_single(tmp_path):
+    """PRODUCTION multi-chip path: _fused_score (the exact code demo.py's
+    engine drives) must pick up the 8-device mesh automatically and produce
+    the same scores as a D2R_MESH=0 single-device run, including slab
+    padding to n_dev*clip_batch and the cb_render writer."""
+    import jax
+
+    from dream2real_tpu import scoring
+    from dream2real_tpu.nerf.model import init_ngp_params
+
+    res = 48
+    f = 0.9 * res
+    K = np.array([[f, 0, res / 2], [0, f, res / 2], [0, 0, 1.0]])
+    ncfg = NGPConfig(
+        field_type="mlp", mlp_width=32, mlp_depth=3, skip_layer=2,
+        posenc_deg=4, geo_feat_dim=7,
+        aabb_min=(0.0, -0.6, -0.1), aabb_max=(1.1, 0.6, 0.9),
+    )
+    params = init_ngp_params(jax.random.PRNGKey(0), ncfg)
+    settings = RenderSettings(n_coarse=8, n_fine=8, near=0.05, far=2.0)
+    obj_aabb = ((0.35, -0.1, 0.0), (0.65, 0.1, 0.15))
+    T_WO_1 = np.eye(4, dtype=np.float32)
+    T_WO_1[:3, 3] = [0.5, 0.0, 0.05]
+    renderer = CombinedRenderer(
+        params, ncfg, params, ncfg, settings=settings, res=res,
+        intrinsics=K, row_chunk=16, obj_aabb=obj_aabb, fg_crop=24,
+    )
+    cam = np.array(
+        [[1, 0, 0, 0.5], [0, -1, 0, 0.0], [0, 0, -1, 0.7], [0, 0, 0, 1]],
+        np.float32,
+    )
+
+    ccfg = CLIPConfig(
+        eot_id=127, image_size=res, patch_size=16, vision_width=32,
+        vision_layers=2, vision_heads=4, vocab_size=128, context_length=16,
+        text_width=32, text_layers=2, text_heads=4, projection_dim=24,
+    )
+    # batch_size 2 -> mesh threshold 2*8*2 = 32 poses; 40 poses engages it.
+    scorer = ClipScorer(init_clip_params(jax.random.PRNGKey(7), ccfg), ccfg,
+                        batch_size=2)
+    poses = np.tile(T_WO_1[None], (40, 1, 1)).astype(np.float32)
+    poses[:, 0, 3] += np.linspace(-0.08, 0.12, 40)
+    tm = _FakeTaskModel()
+    import os
+
+    os.environ["D2R_MESH"] = "0"
+    try:
+        single = _fused_score(
+            renderer, scorer, _tok, tm, poses, cam[None], None, None,
+            T_WO_1, use_templates=False,
+        )
+        assert scoring.LAST_RUN_INFO["mesh_devices"] == 1
+    finally:
+        del os.environ["D2R_MESH"]
+
+    renderer.out_render_path = str(tmp_path / "cb_mesh")
+    sharded = _fused_score(
+        renderer, scorer, _tok, tm, poses, cam[None], None, None,
+        T_WO_1, use_templates=False, save_renders=True,
+    )
+    assert scoring.LAST_RUN_INFO["mesh_devices"] == 8
+    assert scoring.LAST_RUN_INFO["n_poses"] == 40
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+    assert np.std(single) > 0
+    # Writer streamed exactly the 40 real renders (padding discarded).
+    import os as _os
+
+    files = sorted(_os.listdir(tmp_path / "cb_mesh"))
+    assert files == [f"cb_rgb_{i:04d}.png" for i in range(40)]

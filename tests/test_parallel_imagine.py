@@ -142,3 +142,43 @@ def test_sharded_train_chunk_matches_single():
     p1 = np.asarray(s1["params"]["field"]["trunk_w0"])
     p2 = np.asarray(s2["params"]["field"]["trunk_w0"])
     np.testing.assert_allclose(p1, p2, atol=2e-5, rtol=1e-4)
+
+
+def test_shard_map_pallas_train_chunk(monkeypatch):
+    """Fused-kernel training under ray sharding lowers to shard_map (GSPMD
+    cannot partition a pallas custom_call): one step on the 8-dev CPU mesh in
+    interpret mode must run, produce a finite loss, and update the field."""
+    import pytest
+
+    pytest.importorskip("jax.experimental.pallas")
+    monkeypatch.setenv("D2R_PALLAS_TRAIN", "1")
+    from dream2real_tpu.nerf.trainer import (
+        TrainConfig, init_train_state, make_train_chunk,
+    )
+    from dream2real_tpu.parallel.mesh import pose_sharding
+
+    ngp_cfg = NGPConfig(aabb_min=(0.0, -0.6, -0.1), aabb_max=(1.1, 0.6, 0.9))
+    tc = TrainConfig(
+        n_steps=1, batch_rays=64, poll_steps=1,
+        optimize_extrinsics=False, dynamic_time_extension=False,
+    )
+    settings = RenderSettings(n_coarse=8, n_fine=8, near=0.05, far=2.0)
+    h = w = 16
+    f = 0.9 * w
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1.0]])
+    dirs_cam = cameras.pixel_dirs(h, w, jnp.asarray(K))
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (2, h, w, 4), dtype=np.uint8))
+    poses_cam = jnp.tile(jnp.eye(4)[None], (2, 1, 1))
+
+    mesh = data_mesh(8)
+    chunk = make_train_chunk(
+        ngp_cfg, tc, settings, images, poses_cam, dirs_cam,
+        ray_sharding=pose_sharding(mesh),
+    )
+    s0 = init_train_state(ngp_cfg, tc, n_images=2)
+    s1, loss = chunk(s0)
+    assert np.isfinite(float(loss))
+    w0_before = np.asarray(s0["params"]["field"]["trunk_w0"])
+    w0_after = np.asarray(s1["params"]["field"]["trunk_w0"])
+    assert not np.allclose(w0_before, w0_after)

@@ -78,3 +78,40 @@ def test_pointcloud_renderer_moves_object():
     # The blue bg point is identical across poses.
     for im in imgs:
         assert (im == [0, 0, 200]).all(-1).any()
+
+
+def test_pointcloud_renderer_hide_movable():
+    """hide_movable=True: bg-only frames, one per requested pose (the
+    reference declares the flag but never implemented its branch,
+    pcd_visual_model.py:152-153)."""
+    class _Obj:
+        pass
+
+    class _TM:
+        pass
+
+    bg = PointCloud(
+        points=np.array([[0.4, 0.0, 0.0]], np.float32),
+        colors=np.array([[0, 0, 200]], np.uint8),
+    )
+    mv = PointCloud(
+        points=np.array([[0.5, 0.0, 0.1]], np.float32),
+        colors=np.array([[200, 0, 0]], np.uint8),
+    )
+    tm = _TM()
+    tm.task_bground_obj = _Obj()
+    tm.task_bground_obj.vis_model = bg
+    tm.movable_obj = _Obj()
+    tm.movable_obj.vis_model = mv
+    tm.movable_obj.pose = np.eye(4)
+
+    r = PointCloudRenderer(intrinsics=K)
+    imgs = r.render(
+        _look_down_pose(), np.stack([np.eye(4), np.eye(4)]), tm,
+        hide_movable=True,
+    )
+    assert len(imgs) == 2
+    for im in imgs:
+        assert (im == [0, 0, 200]).all(-1).any()      # bg point present
+        assert not (im == [200, 0, 0]).all(-1).any()  # movable hidden
+    np.testing.assert_array_equal(imgs[0], imgs[1])
