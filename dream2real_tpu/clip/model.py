@@ -152,19 +152,16 @@ def _use_pallas_attn() -> bool:
 
 def _fused_ln_attn_mode() -> str:
     # "1": LN1+qkv+attention in one pallas kernel (attention.py::mha_ln_qkv);
-    # "2": also fold the out-projection + residual add in-kernel;
     # "0": split XLA LN + qkv matmul + mha_qkv pipeline.
+    # Round-3/4 measurements (experiments/results/*_tpu_session.log): "1"
+    # benched 222.9 vs 219.3 poses/s. Two sibling fusions were measured
+    # LOSING and deleted in round 4: folding the out-projection + residual
+    # in-kernel too ("mode 2", 217.0 — the W x W matmul starves the MXU
+    # per-image) and a fused LN2+fc1+GELU+fc2 MLP sub-block (205.6 — XLA's
+    # batched 18k-row MLP matmuls at 79% MFU beat per-image pallas tiles).
     import os
 
     return os.environ.get("D2R_ATTN_FUSED_LN", "0")
-
-
-def _mlp_fused() -> bool:
-    # Fused LN2+fc1+QuickGELU+fc2+residual pallas sub-block (ops/mlp.py);
-    # composes with any D2R_ATTN_FUSED_LN mode, incl. the causal text tower.
-    import os
-
-    return os.environ.get("D2R_MLP_FUSED", "0") == "1"
 
 
 def _mlp_block(x, blk, dtype=jnp.bfloat16):
@@ -180,35 +177,20 @@ def _mlp_block(x, blk, dtype=jnp.bfloat16):
 
 def _block(x, blk, n_heads, mask=None, dtype=jnp.bfloat16, causal=False):
     mode = _fused_ln_attn_mode() if mask is None and not causal else "0"
-    if _use_pallas_attn() and mode in ("1", "2"):
+    if _use_pallas_attn() and mode == "1":
         from dream2real_tpu.ops.attention import mha_ln_qkv
 
-        if mode == "2":
-            x = mha_ln_qkv(
-                x.astype(dtype), blk["qkv"]["w"].astype(dtype),
-                blk["qkv"]["b"], blk["ln1_g"], blk["ln1_b"], n_heads,
-                wo=blk["proj"]["w"].astype(dtype), bo=blk["proj"]["b"],
-            )
-        else:
-            a = mha_ln_qkv(
-                x.astype(dtype), blk["qkv"]["w"].astype(dtype),
-                blk["qkv"]["b"], blk["ln1_g"], blk["ln1_b"], n_heads,
-            ).astype(dtype)
-            a = jnp.dot(a, blk["proj"]["w"].astype(dtype),
-                        preferred_element_type=jnp.float32)
-            x = x + (a + blk["proj"]["b"]).astype(dtype)
+        a = mha_ln_qkv(
+            x.astype(dtype), blk["qkv"]["w"].astype(dtype),
+            blk["qkv"]["b"], blk["ln1_g"], blk["ln1_b"], n_heads,
+        ).astype(dtype)
+        a = jnp.dot(a, blk["proj"]["w"].astype(dtype),
+                    preferred_element_type=jnp.float32)
+        x = x + (a + blk["proj"]["b"]).astype(dtype)
     else:
         x = x + _attn(
             _ln(x, blk["ln1_g"], blk["ln1_b"]), blk, n_heads, mask, dtype,
             causal,
-        )
-    if _use_pallas_attn() and _mlp_fused():
-        from dream2real_tpu.ops.mlp import mlp_ln
-
-        return mlp_ln(
-            x.astype(dtype), blk["fc1"]["w"].astype(dtype), blk["fc1"]["b"],
-            blk["fc2"]["w"].astype(dtype), blk["fc2"]["b"],
-            blk["ln2_g"], blk["ln2_b"],
         )
     x = x + _mlp_block(_ln(x, blk["ln2_g"], blk["ln2_b"]), blk, dtype)
     return x

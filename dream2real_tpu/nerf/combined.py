@@ -275,7 +275,11 @@ class CombinedRenderer:
             # Uniform sampling: the march range is already tight (the object
             # AABB), so hierarchical resampling costs more than it saves
             # (~19ms/pose measured on v5e for the pdf machinery alone).
-            n_coarse=32, n_fine=0
+            # D2R_CROP_SAMPLES tunes the per-ray sample count (the t-range is
+            # per-ray box entry/exit, so 32 samples over a ~10-17 cm span is
+            # ~4-5 mm spacing; quality vs count is gated by the oracle
+            # validation, experiments/validate_synth_argmax.py).
+            n_coarse=int(os.environ.get("D2R_CROP_SAMPLES", "32")), n_fine=0
         )
         self._render_chunk = None
         self._bg_render_jit = None

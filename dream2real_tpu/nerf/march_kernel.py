@@ -279,7 +279,7 @@ def supports(cfg: NGPConfig, settings: RenderSettings) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "settings", "block_rays", "interpret", "compact"),
+    static_argnames=("cfg", "settings", "block_rays", "interpret"),
 )
 def march_rays_fused(
     params,
@@ -290,30 +290,19 @@ def march_rays_fused(
     settings: RenderSettings,
     block_rays: int = 2048,
     interpret: bool | None = None,
-    compact: bool | None = None,
 ):
     """Fused-march equivalent of render_rays(...)['rgb'/'alpha'/'depth'] for
     flat rays sharing one origin. Returns dict rgb (R,3), alpha (R,), depth (R,).
 
-    compact=True (D2R_MARCH_COMPACT=1; default OFF) permutes rays so
-    box-hitting rays fill the leading blocks: the crop window is square but
-    the object AABB's projection inside it is a convex blob, so row-major
-    blocks mix hit and miss rays and march everything; hits-first ordering
-    turns every fully-miss tail block into an `any_hit` skip. Exact — rays
-    are independent in the kernel, and the permutation is inverted on the
-    outputs. Default off until the added XLA gathers are measured on TPU:
-    row-gathers of ~28K rays x (3 in + 5 out) channels per pose could cost
-    more than the skipped marching if TPU gather throughput is as poor as
-    the hashgrid measurements suggested (~300 ms for ~8M element-gathers).
-    The env gate is read at trace time; tests toggling it must pass
-    `compact` explicitly.
+    NOTE (round 3/4): a hits-first ray-compaction variant (permute rays so
+    fully-miss blocks skip marching) was built and measured LOSING on TPU —
+    bench 211.5 vs 219.3 poses/s (experiments/results/r3_tpu_session.log) —
+    the XLA row-gathers cost more than the skipped march work at the crop
+    shapes. Deleted in round 4; the in-kernel `any_hit` block skip (below)
+    keeps the cheap part of the win without any reordering.
     """
-    import os
-
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if compact is None:
-        compact = os.environ.get("D2R_MARCH_COMPACT", "0") == "1"
     n_rays = dirs.shape[0]
     block_rays = min(block_rays, max(128, n_rays))
     S = settings.n_coarse
@@ -346,21 +335,6 @@ def march_rays_fused(
         t1 = jnp.concatenate([t1, jnp.full((r_pad,), settings.far + 0.5)])
     R = n_rays + r_pad
     nblk = R // block_rays
-
-    pos = None
-    if compact and nblk > 1:
-        # Hits-first permutation via two prefix sums + one scatter (O(R),
-        # no sort). pos[i] is ray i's slot; `order` gathers the inputs.
-        hit = t1 > t0  # pads and misses are False by construction above
-        pos = jnp.where(
-            hit,
-            jnp.cumsum(hit) - 1,
-            jnp.sum(hit) + jnp.cumsum(~hit) - 1,
-        ).astype(jnp.int32)
-        order = jnp.zeros((R,), jnp.int32).at[pos].set(
-            jnp.arange(R, dtype=jnp.int32), unique_indices=True
-        )
-        dirs, t0, t1 = dirs[order], t0[order], t1[order]
 
     box = jnp.stack(
         [
@@ -428,15 +402,7 @@ def march_rays_fused(
         p["w0"], p["b0"], p["w1"], p["b1"], p["w2"], p["b2"],
         p["w3"], p["b3"], p["wm"], p["bm"], p["csh"], p["cw1"], p["cw2"],
     )
-    if pos is not None:
-        # out_orig[i] = out_sorted[pos[i]]; only the first n_rays slots are
-        # real rays.
-        take = pos[:n_rays]
-        rgb = jnp.where(valid[:, None], rgb[0].T[take], 0.0)
-        alpha = jnp.where(valid, alpha[0][take], 0.0)
-        depth = jnp.where(valid, depth[0][take], 0.0)
-    else:
-        rgb = jnp.where(valid[:, None], rgb[0].T[:n_rays], 0.0)
-        alpha = jnp.where(valid, alpha[0][:n_rays], 0.0)
-        depth = jnp.where(valid, depth[0][:n_rays], 0.0)
+    rgb = jnp.where(valid[:, None], rgb[0].T[:n_rays], 0.0)
+    alpha = jnp.where(valid, alpha[0][:n_rays], 0.0)
+    depth = jnp.where(valid, depth[0][:n_rays], 0.0)
     return {"rgb": rgb, "alpha": alpha, "depth": depth}

@@ -214,21 +214,17 @@ def _mha_qkv_padded(qkv, n_heads: int, n_valid: int, maxsub: bool,
     )(qkv, bias)
 
 
-def _attn_kernel4(x_ref, wqkv_ref, bqkv_ref, g_ref, b_ref, *rest,
-                  n_heads: int, hd: int, maxsub: bool, proj: bool):
+def _attn_kernel4(x_ref, wqkv_ref, bqkv_ref, g_ref, b_ref, bias_ref, o_ref,
+                  *, n_heads: int, hd: int, maxsub: bool):
     """LN1 + qkv projection + attention fused in one cell: x (T, W) in,
     attention output (T, W) out. Wqkv (W, 3W) has a constant block index so
     it is DMA'd into VMEM once and reused across the batch grid; the
     (T, 3W) qkv never touches HBM.
 
-    proj=True additionally applies the out-projection Wo (W, W) + residual
-    in-kernel (heads accumulate into a VMEM scratch, then one full-rate
-    K=W matmul): the pre-projection (T, W) tensor never touches HBM either
-    and o_ref receives the complete attention sub-block x + attn(LN(x))@Wo."""
-    if proj:
-        wo_ref, bo_ref, bias_ref, o_ref, acc_ref = rest
-    else:
-        bias_ref, o_ref = rest
+    (A round-3 variant also folded the out-projection + residual in-kernel;
+    it measured SLOWER end-to-end — 217.0 vs 222.9 poses/s, r3 session log —
+    because the per-image (T, W) x (W, W) matmul starves the MXU vs XLA's
+    batched (B*T, W) one. Deleted in round 4.)"""
     x = x_ref[0]
     W = n_heads * hd
     x32 = x.astype(jnp.float32)
@@ -256,25 +252,15 @@ def _attn_kernel4(x_ref, wqkv_ref, bqkv_ref, g_ref, b_ref, *rest,
             p = jnp.exp(jnp.minimum(s, 70.0) - 70.0).astype(x.dtype)
         l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
         o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-        if proj:
-            acc_ref[:, h * hd:(h + 1) * hd] = (o / l).astype(acc_ref.dtype)
-        else:
-            o_ref[0, :, h * hd:(h + 1) * hd] = (o / l).astype(o_ref.dtype)
-    if proj:
-        out = jax.lax.dot_general(
-            acc_ref[:], wo_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bo_ref[:]
-        o_ref[0] = (x32 + out).astype(o_ref.dtype)
+        o_ref[0, :, h * hd:(h + 1) * hd] = (o / l).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_heads", "n_valid", "maxsub", "interpret")
 )
-def _mha_ln_qkv_padded(x, wqkv, bqkv, g, b, wo, bo, n_heads: int,
+def _mha_ln_qkv_padded(x, wqkv, bqkv, g, b, n_heads: int,
                        n_valid: int, maxsub: bool, interpret: bool):
     B, T, W = x.shape
-    proj = wo is not None
     bias = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) < n_valid, 0.0, -1e9
     ).astype(jnp.float32)
@@ -283,30 +269,23 @@ def _mha_ln_qkv_padded(x, wqkv, bqkv, g, b, wo, bo, n_heads: int,
     const = lambda shape: pl.BlockSpec(shape, lambda bb: tuple(
         0 for _ in shape), memory_space=pltpu.VMEM)
     in_specs = [xspec, const(wqkv.shape), const((1, 3 * W)),
-                const((1, W)), const((1, W))]
-    args = [x, wqkv, bqkv[None], g[None], b[None]]
-    if proj:
-        in_specs += [const((W, W)), const((1, W))]
-        args += [wo, bo[None]]
-    in_specs.append(const((1, T)))
-    args.append(bias)
+                const((1, W)), const((1, W)), const((1, T))]
+    args = [x, wqkv, bqkv[None], g[None], b[None], bias]
     return pl.pallas_call(
         functools.partial(_attn_kernel4, n_heads=n_heads, hd=W // n_heads,
-                          maxsub=maxsub, proj=proj),
+                          maxsub=maxsub),
         grid=(B,),
         in_specs=in_specs,
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((B, T, W), x.dtype),
-        scratch_shapes=[pltpu.VMEM((T, W), x.dtype)] if proj else [],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * T * W * (3 + proj) * W + 4 * B * n_heads * T * T
+            flops=2 * B * T * W * 3 * W + 4 * B * n_heads * T * T
             * (W // n_heads),
-            bytes_accessed=B * T * 2 * W * x.dtype.itemsize
-            + (3 + proj) * W * W * 2,
+            bytes_accessed=B * T * 2 * W * x.dtype.itemsize + 3 * W * W * 2,
             transcendentals=B * n_heads * T * T,
         ),
         interpret=interpret,
@@ -320,19 +299,14 @@ def mha_ln_qkv(
     ln_g: jnp.ndarray,
     ln_b: jnp.ndarray,
     n_heads: int,
-    wo: jnp.ndarray | None = None,
-    bo: jnp.ndarray | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused LN1 + qkv projection + bidirectional attention.
 
     x: (B, T, W) residual stream; wqkv (W, 3W) bf16; bqkv (3W,) f32;
     ln_g/ln_b (W,) f32. Returns (B, T, W) pre-out-projection attention
-    output; with wo (W, W) + bo (W,) given, the out-projection and the
-    residual add are folded in too and the return is the full attention
-    sub-block x + attn(LN(x)) @ wo + bo. Gated by D2R_ATTN_FUSED_LN
-    (see model._block: "1" = LN+qkv+attn, "2" = also out-proj+residual);
-    falls back to the split LN + matmul + mha_qkv pipeline when off."""
+    output. Gated by D2R_ATTN_FUSED_LN=1 (see model._block); falls back to
+    the split LN + matmul + mha_qkv pipeline when off."""
     import os
 
     B, T, W = x.shape
@@ -345,7 +319,6 @@ def mha_ln_qkv(
     out = _mha_ln_qkv_padded(
         x, wqkv, bqkv.astype(jnp.float32),
         ln_g.astype(jnp.float32), ln_b.astype(jnp.float32),
-        wo, None if bo is None else bo.astype(jnp.float32),
         n_heads, n_valid=T, maxsub=maxsub, interpret=bool(interpret),
     )
     return out[:, :T] if t_pad else out

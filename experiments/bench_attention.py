@@ -563,8 +563,7 @@ def _layer_bench(B, H, T, D, kq, kk, reps):
         return _block_fused_o(x, wqkv, bqkv, g, bb, wo, bo, n_heads=H)
 
     # --- full transformer BLOCK: attention sub-block + MLP sub-block, the
-    # unit production actually chains 24x. Compares XLA MLP vs the fused
-    # pallas MLP kernel (ops/mlp.py) on top of the best attention variant.
+    # unit production actually chains 24x.
     w1 = (jax.random.normal(kk, (W, 4 * W)) * 0.02).astype(jnp.bfloat16)
     b1 = jnp.zeros((4 * W,), jnp.float32)
     w2 = (jax.random.normal(kq, (4 * W, W)) * 0.02).astype(jnp.bfloat16)
@@ -577,10 +576,9 @@ def _layer_bench(B, H, T, D, kq, kk, reps):
         return x + (jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2
                     ).astype(x.dtype)
 
-    def pallas_mlp(x):
-        from dream2real_tpu.ops.mlp import mlp_ln
-
-        return mlp_ln(x, w1, b1, w2, b2, g, bb, interpret=False)
+    # (The fused pallas MLP sub-block probe was deleted in round 4 with
+    # ops/mlp.py: it measured 3.628 vs 3.191 ms/layer for the XLA MLP — the
+    # per-image (T, 4W) tiles starve the MXU vs XLA's batched matmuls.)
 
     def block_baseline(x):
         return xla_mlp(baseline_subblock(x).astype(x.dtype))
@@ -588,17 +586,13 @@ def _layer_bench(B, H, T, D, kq, kk, reps):
     def block_v13_xla_mlp(x):
         return xla_mlp(v13_subblock(x).astype(x.dtype))
 
-    def block_v13_pallas_mlp(x):
-        return pallas_mlp(v13_subblock(x).astype(x.dtype))
-
     for name, layer in [("xla_ln_qkv + v9 kernel", baseline_layer),
                         ("v12_block_fused", fused_layer),
                         ("subblock: xla + v9", baseline_subblock),
                         ("subblock: v12 + xla_wo", v12_subblock),
                         ("subblock: v13 all-fused", v13_subblock),
                         ("block: xla+v9 | xla mlp", block_baseline),
-                        ("block: v13 | xla mlp", block_v13_xla_mlp),
-                        ("block: v13 | pallas mlp", block_v13_pallas_mlp)]:
+                        ("block: v13 | xla mlp", block_v13_xla_mlp)]:
         jf = jax.jit(lambda x, layer=layer: jax.lax.fori_loop(
             0, CHAIN, lambda _, xx: layer(xx).astype(x.dtype), x))
         out = jf(x0)
@@ -616,7 +610,7 @@ def _layer_bench(B, H, T, D, kq, kk, reps):
     print(f"v13 maxrel vs baseline: "
           f"{np.abs(a - c).max() / (np.abs(a).max() + 1e-9):.2e}", flush=True)
     a = np.asarray(jax.jit(block_baseline)(x0), np.float32)
-    c = np.asarray(jax.jit(block_v13_pallas_mlp)(x0), np.float32)
+    c = np.asarray(jax.jit(block_v13_xla_mlp)(x0), np.float32)
     print(f"full-block maxrel vs baseline: "
           f"{np.abs(a - c).max() / (np.abs(a).max() + 1e-9):.2e}", flush=True)
 

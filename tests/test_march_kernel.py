@@ -79,41 +79,6 @@ def test_march_kernel_miss_rays_zero():
     assert float(jnp.abs(out["rgb"]).max()) == 0.0
     assert float(jnp.abs(out["alpha"]).max()) == 0.0
 
-
-def test_march_kernel_compaction_parity():
-    """Interleaved hit/miss rays: the hits-first compaction permutation must
-    return bit-identical outputs to the uncompacted kernel (rays are
-    independent; the permutation is inverted on the outputs), and both must
-    match render_rays. Uses a non-multiple ray count so pads, misses and
-    hits all coexist."""
-    params = init_ngp_params(jax.random.PRNGKey(0), CFG)
-    origin = jnp.asarray([0.5, 0.0, -0.4])
-    lo, hi = [0.3, -0.2, 0.0], [0.7, 0.2, 0.3]
-    hit_d = _rays(150, origin, lo, hi, seed=3)
-    miss_d = _rays(150, origin, [5.0, 5.0, 1.0], [6.0, 6.0, 2.0], seed=4)
-    # Interleave so every 128-ray block mixes hits and misses.
-    d = jnp.stack([hit_d, miss_d], axis=1).reshape(-1, 3)[:290]
-    march = (jnp.asarray(lo), jnp.asarray(hi))
-    out_c = march_rays_fused(
-        params, CFG, origin, d, march, SETTINGS, block_rays=128, compact=True
-    )
-    out_n = march_rays_fused(
-        params, CFG, origin, d, march, SETTINGS, block_rays=128, compact=False
-    )
-    for k in ("rgb", "alpha", "depth"):
-        np.testing.assert_array_equal(np.asarray(out_c[k]), np.asarray(out_n[k]))
-    ref = render_rays(
-        params, CFG, jnp.broadcast_to(origin, (290, 3)), d, SETTINGS,
-        march_aabb=march,
-    )
-    np.testing.assert_allclose(
-        np.asarray(out_c["rgb"]), np.asarray(ref["rgb"]), atol=5e-3
-    )
-    np.testing.assert_allclose(
-        np.asarray(out_c["alpha"]), np.asarray(ref["alpha"]), atol=5e-3
-    )
-
-
 def test_march_kernel_density_masked_outside_field_aabb():
     """March box poking outside the field aabb: density there must be 0,
     matching density_fn's in_aabb masking."""
