@@ -44,6 +44,9 @@ run env D2R_CROP_SAMPLES=24 python bench.py
 run env D2R_CROP_SAMPLES=28 python bench.py
 run env D2R_RENDER_BATCH=8 python bench.py
 run env D2R_RENDER_BATCH=2 python bench.py
+# combined candidate default (individual winners may compose):
+run env D2R_ATTN_FUSED_LN=1 D2R_CROP_SAMPLES=24 python bench.py
+run env D2R_ATTN_FUSED_LN=1 D2R_CROP_SAMPLES=24 python bench.py
 
 # 2. oracle validation gates (regression for the trainer/mesh refactor,
 #    smoothing study, distortion end-to-end).
@@ -51,11 +54,17 @@ run python experiments/validate_synth_argmax.py /tmp/d2r_val_xyz
 run python experiments/validate_synth_argmax.py /tmp/d2r_val_rect --rect --ablate
 run python experiments/validate_synth_argmax.py /tmp/d2r_val_rect25 --rect --res 25
 run python experiments/validate_synth_argmax.py /tmp/d2r_val_dist --distort
+# quality gate for the march-trim candidate default (24 uniform samples):
+run env D2R_CROP_SAMPLES=24 python experiments/validate_synth_argmax.py /tmp/d2r_val_cs24
 
 # 3. extrinsics gradient A/B at 1/5/10 deg init error (6 trainings).
 run python experiments/extr_grad_ab.py 4000 experiments/results/extr_grad_ab.json
 
-# 4. reference-scale 70k through production optimise_pose_grid, writer on.
-run env D2R_REFSCALE_SAVE=1 python experiments/run_refscale.py experiments/results/refscale_70k.json
+# 4. reference-scale 70k through production optimise_pose_grid: first the
+#    demo-default fused no-artifact path (proves slab/pending machinery even
+#    if the writer variant times out), then with the cb_render writer thread
+#    streaming ~24 GB of PNGs (D2H over the tunnel is the risk, hence 2nd).
+run python experiments/run_refscale.py experiments/results/refscale_70k.json
+run env D2R_REFSCALE_SAVE=1 python experiments/run_refscale.py experiments/results/refscale_70k_save.json
 
 echo "SESSION DONE $(date -u +%H:%M:%S)" | tee -a "$LOG"
