@@ -151,17 +151,20 @@ def _use_pallas_attn() -> bool:
 
 
 def _fused_ln_attn_mode() -> str:
-    # "1": LN1+qkv+attention in one pallas kernel (attention.py::mha_ln_qkv);
-    # "0": split XLA LN + qkv matmul + mha_qkv pipeline.
-    # Round-3/4 measurements (experiments/results/*_tpu_session.log): "1"
-    # benched 222.9 vs 219.3 poses/s. Two sibling fusions were measured
-    # LOSING and deleted in round 4: folding the out-projection + residual
-    # in-kernel too ("mode 2", 217.0 — the W x W matmul starves the MXU
-    # per-image) and a fused LN2+fc1+GELU+fc2 MLP sub-block (205.6 — XLA's
-    # batched 18k-row MLP matmuls at 79% MFU beat per-image pallas tiles).
+    # "1" (default): LN1+qkv+attention in one pallas kernel
+    # (attention.py::mha_ln_qkv); "0": split XLA LN + qkv matmul + mha_qkv.
+    # Flipped default-on in round 4: "1" benched 223.8/225.0/224.5 vs
+    # 216.1/218.1/217.2 poses/s for "0" (3x each, r4_tpu_session.log) and
+    # the oracle validation gates pass with it on (rho 0.986 xyz / 0.938
+    # rect-6dof — both >= the split path's 0.985 / 0.927). Two sibling
+    # fusions were measured LOSING and deleted in round 4: folding the
+    # out-projection + residual in-kernel too ("mode 2", 217.0 — the W x W
+    # matmul starves the MXU per-image) and a fused LN2+fc1+GELU+fc2 MLP
+    # sub-block (205.6 — XLA's batched 18k-row MLP matmuls at 79% MFU beat
+    # per-image pallas tiles).
     import os
 
-    return os.environ.get("D2R_ATTN_FUSED_LN", "0")
+    return os.environ.get("D2R_ATTN_FUSED_LN", "1")
 
 
 def _mlp_block(x, blk, dtype=jnp.bfloat16):

@@ -478,8 +478,12 @@ class ImaginationEngine:
                 # demo scenes; a worst-case-pose-exact adaptive bound was
                 # measured LARGER (apparent size grows for candidates
                 # toward the camera — which clipping wouldn't hurt, since
-                # those score badly either way). Config fg_crop overrides.
-                fg_crop = int(self.cfg.raw.get("engine", {}).get("fg_crop", res // 2))
+                # those score badly either way). Config fg_crop overrides;
+                # D2R_FG_CROP overrides both (perf A/B + its oracle gate).
+                fg_crop = int(os.environ.get(
+                    "D2R_FG_CROP",
+                    self.cfg.raw.get("engine", {}).get("fg_crop", res // 2),
+                ))
         return obj_aabb, fg_crop
 
     def dream_best_pose(self, task_model, vis_cost_vol: bool = True):

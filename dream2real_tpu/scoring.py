@@ -157,6 +157,7 @@ def _fused_score(
             from dream2real_tpu.native import png_write
 
             arr = np.asarray(imgs_dev)[:count]
+            del imgs_dev  # free the HBM buffer before the (slow) encode
             for j in range(count):
                 path = os.path.join(save_dir, f"cb_rgb_{start + j:04d}.png")
                 if not png_write(path, arr[j]):
@@ -180,11 +181,26 @@ def _fused_score(
     MAX_PENDING = int(os.environ.get("D2R_RENDER_PENDING_MB", "1536")) * 2**20
 
     def _drain(entry):
-        nonlocal pending_img_bytes
+        nonlocal pending_img_bytes, peak_pending
         start, n, scores_dev, imgs_dev = entry
         if imgs_dev is not None:
             futures.append(writer.submit(_write, imgs_dev, start, n))
             pending_img_bytes -= img_bytes
+            # The device buffer stays alive until the writer THREAD has
+            # fetched it, so the cap must bound the writer backlog too:
+            # compute outruns PNG encoding, and with the backlog uncounted a
+            # 70k save_renders run re-accumulated every slab's render in HBM
+            # and OOMed the chip (r4_tpu_session.log 08:18). Retire finished
+            # futures, then block on the oldest once the backlog alone
+            # exceeds the cap (throughput then = encode throughput, which is
+            # the physical limit anyway).
+            while futures and futures[0].done():
+                futures.pop(0).result()
+            peak_pending = max(
+                peak_pending, pending_img_bytes + len(futures) * img_bytes
+            )
+            while len(futures) * img_bytes > MAX_PENDING:
+                futures.pop(0).result()
         out[start : start + n] = np.asarray(scores_dev)[:n]
 
     for s in range(0, k, slab):
