@@ -175,6 +175,37 @@ def render_scene(
 #: distorted-dataset variant (k1, k2, p1, p2, k3, k4).
 DEFAULT_DISTORTION = (-0.12, 0.03, 0.0008, -0.0006, 0.0, 0.0)
 
+#: Real-scan sensor/SLAM corruption preset (write_dataset(noise=...)),
+#: modelled on the reference's capture rig (RealSense-class RGB-D + handheld
+#: tracking, README.md:77-91 demo scenes): RGB shot noise, depth error
+#: growing quadratically with range (sigma = depth_quad * z^2 — the stereo
+#: depth error model; 0.003 -> ~3 mm at 1 m, ~12 mm at 2 m), random depth
+#: holes, and per-view SE(3) pose jitter (images stay rendered from the TRUE
+#: poses; the FILE poses carry the jitter, so consumers see SLAM-grade
+#: extrinsics and joint pose refinement has real work to do).
+DEFAULT_NOISE = {
+    "rgb_sigma": 3.0,        # u8 units
+    "depth_quad": 0.003,     # metres^-1 (sigma(z) = depth_quad * z^2)
+    "depth_dropout": 0.02,   # fraction of pixels zeroed (sensor holes)
+    "pose_rot_deg": 0.4,     # per-view rotation jitter (std per axis)
+    "pose_trans_mm": 4.0,    # per-view translation jitter (std per axis)
+}
+
+
+def _jitter_pose(T: np.ndarray, rot_deg: float, trans_mm: float, rng) -> np.ndarray:
+    """Right-multiply camera-frame SE(3) noise (small-angle), like per-view
+    SLAM error: T_noisy = T @ [R(w) | t]."""
+    w = np.deg2rad(rot_deg) * rng.standard_normal(3)
+    th = np.linalg.norm(w)
+    K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    R = np.eye(3) if th < 1e-12 else (
+        np.eye(3) + np.sin(th) / th * K + (1 - np.cos(th)) / th**2 * (K @ K)
+    )
+    J = np.eye(4)
+    J[:3, :3] = R
+    J[:3, 3] = trans_mm * 1e-3 * rng.standard_normal(3)
+    return T @ J
+
 
 def write_dataset(
     out_dir: str,
@@ -184,6 +215,8 @@ def write_dataset(
     w: int = 320,
     intrinsics: np.ndarray | None = None,
     distortion=None,
+    noise: dict | None = None,
+    seed: int = 0,
 ) -> dict:
     """Write a Dream2Real-format dataset directory from an analytic scene.
 
@@ -191,6 +224,12 @@ def write_dataset(
     depth/depth_%04d.png in millimetres uint16, poses.txt = stacked 4x4
     matrices) plus transforms.json (utils/accio2ngp.py:45-130 semantics),
     ground-truth instance masks (masks/mask_%04d.png) and scene metadata.
+
+    noise (see DEFAULT_NOISE) rehearses real-scan conditions: RGB/depth
+    sensor noise + depth holes on the images, SE(3) jitter on the WRITTEN
+    camera poses (renders keep the true poses — the mismatch is the point;
+    poses_true.txt records them for debugging only, nothing in the
+    pipeline reads it).
     """
     from PIL import Image
 
@@ -206,11 +245,34 @@ def write_dataset(
 
     distortion = cameras.normalize_distortion(distortion)
     poses = orbit_poses(scene.centre, n_views)
+    rng = np.random.default_rng(seed)
+    file_poses = poses
+    if noise is not None:
+        nz = {**DEFAULT_NOISE, **noise}
+        file_poses = np.stack([
+            _jitter_pose(poses[i], nz["pose_rot_deg"], nz["pose_trans_mm"], rng)
+            for i in range(n_views)
+        ])
     frames = []
     for i in range(n_views):
         rgb, depth, inst = render_scene(
             scene, poses[i], intrinsics, h, w, distortion=distortion
         )
+        if noise is not None:
+            rgb = np.clip(
+                rgb.astype(np.float32)
+                + nz["rgb_sigma"] * rng.standard_normal(rgb.shape),
+                0, 255,
+            ).astype(np.uint8)
+            valid = depth > 0
+            depth = np.where(
+                valid,
+                depth + nz["depth_quad"] * depth**2
+                * rng.standard_normal(depth.shape).astype(np.float32),
+                depth,
+            )
+            holes = rng.random(depth.shape) < nz["depth_dropout"]
+            depth = np.where(holes, 0.0, depth)  # 0 = invalid (trainer skips)
         Image.fromarray(rgb).save(os.path.join(out_dir, "images", f"rgb_{i:04d}.png"))
         depth_mm = np.clip(depth * 1000.0, 0, 65535).astype(np.uint16)
         Image.fromarray(depth_mm).save(
@@ -219,14 +281,16 @@ def write_dataset(
         Image.fromarray(inst).save(os.path.join(out_dir, "masks", f"mask_{i:04d}.png"))
         # transforms.json frames are NGP-convention (y/z columns flipped,
         # accio2ngp.py:81-84).
-        c2w = poses[i].copy()
+        c2w = file_poses[i].copy()
         c2w[:3, 1] *= -1
         c2w[:3, 2] *= -1
         frames.append(
             {"file_path": f"./images/rgb_{i:04d}.png", "transform_matrix": c2w.tolist()}
         )
 
-    np.savetxt(os.path.join(out_dir, "poses.txt"), poses.reshape(-1, 4))
+    np.savetxt(os.path.join(out_dir, "poses.txt"), file_poses.reshape(-1, 4))
+    if noise is not None:
+        np.savetxt(os.path.join(out_dir, "poses_true.txt"), poses.reshape(-1, 4))
 
     d = (
         [0.0] * 6
@@ -254,6 +318,7 @@ def write_dataset(
         "scene_phys_bounds": [[0.1, -0.5, -0.05], [0.9, 0.5, 0.6]],
         "n_objects": len(scene.boxes),
         "distortion": d,
+        "noise": None if noise is None else {**DEFAULT_NOISE, **noise},
         "intrinsics": intrinsics.tolist(),
         "h": h,
         "w": w,
@@ -281,8 +346,10 @@ if __name__ == "__main__":
     out = args[0] if args else "./synth_dataset"
     n = int(args[1]) if len(args) > 1 else 24
     dist = DEFAULT_DISTORTION if "--distort" in sys.argv else None
-    write_dataset(out, n_views=n, distortion=dist)
+    nz = DEFAULT_NOISE if "--noise" in sys.argv else None
+    write_dataset(out, n_views=n, distortion=dist, noise=nz)
     print(
         f"Wrote synthetic dataset to {out}"
         + (f" (Brown-Conrady distortion {dist})" if dist else "")
+        + (f" (sensor/SLAM noise {nz})" if nz else "")
     )

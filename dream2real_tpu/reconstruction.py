@@ -52,6 +52,22 @@ class NGPModel:
     @classmethod
     def load(cls, path: str, settings: Optional[RenderSettings] = None) -> "NGPModel":
         params, cfg, extra = load_snapshot(snapshot_path(path))
+        if settings is None:
+            # Restore the RenderSettings the model was trained with (saved in
+            # the snapshot header by build_vis_model) so a cache-replayed run
+            # renders with the SAME near/far/sample counts as the fresh run
+            # that wrote the snapshot — e.g. fg_scene.json's near_distance=0.1
+            # vs the RenderSettings() default 0.05 changed crop-march ranges
+            # and shifted CLIP scores ~0.8% between fresh and replayed runs.
+            s = extra.get("settings")
+            if s:
+                dt = jnp.bfloat16 if s.get("compute_dtype", "bfloat16") == "bfloat16" else jnp.float32
+                settings = RenderSettings(
+                    n_coarse=int(s["n_coarse"]), n_fine=int(s["n_fine"]),
+                    near=float(s["near"]), far=float(s["far"]),
+                    min_transmittance=float(s["min_transmittance"]),
+                    compute_dtype=dt,
+                )
         return cls(
             params=params["field"] if "field" in params else params,
             cfg=cfg,
@@ -298,7 +314,23 @@ def build_vis_model(
             cfg.save_snapshot_path,
             {"field": model.params},
             ngp_cfg,
-            extra={"losses_tail": [float(x) for x in losses[-5:]]},
+            extra={
+                "losses_tail": [float(x) for x in losses[-5:]],
+                # RenderSettings travel with the snapshot so cache replay
+                # (NGPModel.load) renders exactly like the run that trained
+                # the model (near_distance comes from the per-scene config).
+                "settings": {
+                    "n_coarse": settings.n_coarse,
+                    "n_fine": settings.n_fine,
+                    "near": settings.near,
+                    "far": settings.far,
+                    "min_transmittance": settings.min_transmittance,
+                    "compute_dtype": (
+                        "bfloat16" if settings.compute_dtype == jnp.bfloat16
+                        else "float32"
+                    ),
+                },
+            },
         )
     return model, opt_cam_poses
 

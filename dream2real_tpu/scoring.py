@@ -21,7 +21,11 @@ from dream2real_tpu.sampling import get_virtual_cam_poses, sample_poses_grid
 from dream2real_tpu.smoothing import spatially_smooth_heatmap
 
 #: Observability: filled in by _fused_score with the sharding decision of the
-#: most recent run ({"n_poses", "mesh_devices", "slab", "clip_batch"}).
+#: most recent run ({"n_poses", "mesh_devices", "slab", "clip_batch"}), then
+#: by optimise_pose_grid with the score vectors ("raw_scores" pre-smoothing,
+#: "smoothed_scores", "best_idx") — lets tests compare sharded vs
+#: single-device runs on the quantity that matters (per-pose scores) rather
+#: than an argmax that legitimately flips on floating-point ties.
 LAST_RUN_INFO: dict = {}
 
 
@@ -401,14 +405,17 @@ def optimise_pose_grid(
     pose_scores[valid_idxs] = scores_valid
     render_idxs = np.zeros(n, np.int64)
     render_idxs[valid_idxs] = np.arange(len(valid_idxs))
+    LAST_RUN_INFO["raw_scores"] = pose_scores.copy()
 
     if smoothing:
         print("Applying spatial smoothing...")
         pose_scores = np.asarray(
             spatially_smooth_heatmap(jnp.asarray(pose_scores), sample_res)
         )
+    LAST_RUN_INFO["smoothed_scores"] = pose_scores.copy()
 
     best_pose_idx = int(np.argmax(pose_scores))
+    LAST_RUN_INFO["best_idx"] = best_pose_idx
     best_pose = valid_poses[render_idxs[best_pose_idx]]
     if renders is not None:
         best_render = renders[render_idxs[best_pose_idx]]

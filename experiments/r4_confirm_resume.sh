@@ -1,17 +1,16 @@
 #!/bin/bash
-# Round-4 confirm session — after the default flips (D2R_ATTN_FUSED_LN=1,
-# D2R_CROP_SAMPLES=24) and the save_renders writer-backlog fix:
-#  A. bench x3 at the NEW defaults (BENCH_r04 protocol: fg_crop=128, 512
-#     poses) — expect ~250 poses/s (r4_tpu_session.log combo runs).
-#  B. CS=20 probe: bench x2 + both oracle gates. Flip only if gates pass
-#     AND the bench gains hold.
-#  C. refscale save_renders rerun with the backlog fix (the first attempt
-#     OOMed; see PERF.md round-4 section).
+# Round-4 confirm session RESUME — the first r4_confirm.sh run was cut off
+# mid "CS=20 bench #2" (r4_confirm.log ends at 10:04:57 with no exit line).
+# Completed before the cut: bench x3 at new defaults (249.9/247.7/248.0)
+# and CS=20 bench #1 (262.6). This script re-runs the unfinished step and
+# everything after it, appending to the same log, then runs the noisy-scan
+# rehearsal (r4_noise_session.sh's payload) so one serialized TPU session
+# covers the rest.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p experiments/results
 LOG=experiments/results/r4_confirm.log
-: > "$LOG"
+echo "=== RESUME $(date -u +%H:%M:%S) (prior run cut off mid CS=20 bench #2)" | tee -a "$LOG"
 run() {
   echo "=== $(date -u +%H:%M:%S) $*" | tee -a "$LOG"
   timeout 3000 "$@" >> "$LOG" 2>&1
@@ -27,13 +26,7 @@ import sys; sys.exit(0 if wait_tpu_healthy(600.0) else 1)"; then
   echo "still wedged at $(date -u +%H:%M:%S) (round $i)" | tee -a "$LOG"
 done
 
-# --- A: new defaults, 3 repeats ---
-run python bench.py
-run python bench.py
-run python bench.py
-
-# --- B: CS=20 probe ---
-run env D2R_CROP_SAMPLES=20 python bench.py
+# --- B (rest): CS=20 probe ---
 run env D2R_CROP_SAMPLES=20 python bench.py
 run env D2R_CROP_SAMPLES=20 python experiments/validate_synth_argmax.py /tmp/d2r_val_cs20
 run env D2R_CROP_SAMPLES=20 python experiments/validate_synth_argmax.py /tmp/d2r_val_cs20_rect --rect
@@ -42,3 +35,14 @@ run env D2R_CROP_SAMPLES=20 python experiments/validate_synth_argmax.py /tmp/d2r
 run env D2R_REFSCALE_SAVE=1 python experiments/run_refscale.py experiments/results/refscale_70k_save.json
 
 echo "CONFIRM DONE $(date -u +%H:%M:%S)" | tee -a "$LOG"
+
+# --- D: noisy-scan rehearsal (extrinsics opt ON against jittered poses) ---
+NLOG=experiments/results/r4_noise_session.log
+: > "$NLOG"
+runn() {
+  echo "=== $(date -u +%H:%M:%S) $*" | tee -a "$NLOG"
+  timeout 3000 "$@" >> "$NLOG" 2>&1
+  echo "--- exit $? at $(date -u +%H:%M:%S)" | tee -a "$NLOG"
+}
+runn python experiments/validate_synth_argmax.py /tmp/d2r_val_noise --noise
+echo "NOISE SESSION DONE $(date -u +%H:%M:%S)" | tee -a "$NLOG"

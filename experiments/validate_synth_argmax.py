@@ -32,11 +32,15 @@ model, the config carries the reference camera block's k1..p2
 (configs/synth_demo_distort.json, reference cfg.py:101-112), transforms.json
 is regenerated through raw_poses_convert, and every consumer (training rays,
 dynamic masks, TSDF fusion) must undistort/redistort correctly for the
-oracle gates to pass. First positional arg = data dir (artifacts are cached
-per stage and replayed when present).
+oracle gates to pass; --noise = the SAME xyz validation on a real-scan
+rehearsal (synth.DEFAULT_NOISE: RGB/depth sensor noise, depth holes, SE(3)
+pose jitter on the written poses) with joint extrinsics optimisation ON —
+the gates then cover noisy-scan training + pose refinement end-to-end.
+First positional arg = data dir (artifacts are cached per stage and
+replayed when present).
 
 Run (real TPU; ~15 min fresh, ~8 min cached):
-  python experiments/validate_synth_argmax.py [dir] [--rect | --distort]
+  python experiments/validate_synth_argmax.py [dir] [--rect | --distort | --noise]
 """
 
 from __future__ import annotations
@@ -84,7 +88,10 @@ def main():
     args = [a for a in argv if not a.startswith("-")]
     rect = "--rect" in sys.argv
     distort = "--distort" in sys.argv
-    assert not (rect and distort), "--rect and --distort are separate modes"
+    noisy = "--noise" in sys.argv
+    assert rect + distort + noisy <= 1, (
+        "--rect / --distort / --noise are separate modes"
+    )
     data_dir = args[0] if args else tempfile.mkdtemp(prefix="d2r_validate_")
     # --rect: rectangular-footprint movable box + a 6-DoF grid with a yaw
     # axis {0, 90 deg} — validates the ORIENTATION path (euler grids,
@@ -95,6 +102,7 @@ def main():
         synth.write_dataset(
             data_dir, scene=scene, n_views=14,
             distortion=synth.DEFAULT_DISTORTION if distort else None,
+            noise=synth.DEFAULT_NOISE if noisy else None,
         )
     json.dump(
         ["__background__", "a red box", "a green box", "a blue box"],
@@ -118,8 +126,11 @@ def main():
     # Synthetic camera poses are EXACT: joint extrinsics optimisation can only
     # wander (measured: up to 7.6 mm / 0.45 deg drift on clean poses), which
     # blurs the field and biases the argmax by ~1 grid cell. The reference
-    # enables it for real handheld scans; for the oracle check we disable it.
-    cfg.optimize_extrinsics = False
+    # enables it for real handheld scans; for the oracle check we disable it —
+    # EXCEPT in --noise mode, whose dataset poses carry SLAM-grade SE(3)
+    # jitter (synth.DEFAULT_NOISE): there extrinsics optimisation is doing
+    # its real job and the gates measure the full noisy-scan stack.
+    cfg.optimize_extrinsics = noisy
     if not fresh:  # replay cached stages whose artifacts exist (delete an
         # artifact, e.g. fg_base.ingp, to force that stage to re-run)
         gate = {
@@ -402,7 +413,9 @@ def main():
     print(f"PSNR check (>=22 dB): {'PASS' if ok_psnr else 'FAIL'}", flush=True)
     print(f"argmax-parity check: {'PASS' if ok_argmax else 'FAIL'}", flush=True)
     out = {
-        "mode": "rect6dof" if rect else ("xyz_distort" if distort else "xyz"),
+        "mode": "rect6dof" if rect else (
+            "xyz_distort" if distort else ("xyz_noise" if noisy else "xyz")
+        ),
         "psnr_db": round(psnr, 2),
         "argmax_t2": [round(float(v), 4) for v in t_raw],
         "argmax_idx": mi_raw.tolist(),
