@@ -276,13 +276,14 @@ class CombinedRenderer:
             # AABB), so hierarchical resampling costs more than it saves
             # (~19ms/pose measured on v5e for the pdf machinery alone).
             # D2R_CROP_SAMPLES tunes the per-ray sample count (the t-range is
-            # per-ray box entry/exit, so 24 samples over a ~10-17 cm span is
-            # ~5-7 mm spacing; quality vs count is gated by the oracle
-            # validation, experiments/validate_synth_argmax.py). Default 24
-            # since round 4: benched 241.9 vs 217 poses/s at 32 and the
-            # oracle gates IMPROVE (rho 0.986 vs 0.985 xyz, 0.938 vs 0.927
-            # rect-6dof; argmax exact at both) — r4_tpu_session.log.
-            n_coarse=int(os.environ.get("D2R_CROP_SAMPLES", "24")), n_fine=0
+            # per-ray box entry/exit, so 20 samples over a ~10-17 cm span is
+            # ~6-9 mm spacing; quality vs count is gated by the oracle
+            # validation, experiments/validate_synth_argmax.py). Default 20
+            # since round 4: benched 262.6/263.8 vs 248 poses/s at 24 and the
+            # oracle gates PASS with argmax exact (rho 0.987 xyz, 0.937
+            # rect-6dof — r4_confirm.log; 24-vs-32 history in
+            # r4_tpu_session.log).
+            n_coarse=int(os.environ.get("D2R_CROP_SAMPLES", "20")), n_fine=0
         )
         self._render_chunk = None
         self._bg_render_jit = None

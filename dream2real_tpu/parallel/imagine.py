@@ -73,10 +73,10 @@ def make_imagine_and_score(
 
         # Uniform sampling: tight march range makes hierarchical resampling
         # pure overhead (~19ms/pose for the pdf machinery on v5e).
-        # D2R_CROP_SAMPLES tunes the per-ray sample count (default 24 since
+        # D2R_CROP_SAMPLES tunes the per-ray sample count (default 20 since
         # round 4 — measurements + oracle gates in combined.CombinedRenderer).
         crop_settings = crop_settings or settings._replace(
-            n_coarse=int(os.environ.get("D2R_CROP_SAMPLES", "24")), n_fine=0
+            n_coarse=int(os.environ.get("D2R_CROP_SAMPLES", "20")), n_fine=0
         )
         K = jnp.asarray(intrinsics)
 

@@ -169,7 +169,14 @@ def _fused_score(
 
                     Image.fromarray(arr[j]).save(path)
 
-        writer = ThreadPoolExecutor(max_workers=1)
+        # D2R_WRITER_THREADS > 1 overlaps one thread's D2H fetch with
+        # another's PNG encode (the native encoder releases the GIL). On the
+        # tunneled axon runtime save throughput is D2H-bound (~3 MB/s, see
+        # PERF.md) so extra threads change little; on a real TPU host D2H is
+        # PCIe-fast and encode becomes the bottleneck, where this scales.
+        writer = ThreadPoolExecutor(
+            max_workers=max(1, int(os.environ.get("D2R_WRITER_THREADS", "1")))
+        )
         futures = []
 
     # Dispatch ALL slabs before fetching anything: on the tunneled runtime a
