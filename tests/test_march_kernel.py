@@ -97,3 +97,49 @@ def test_march_kernel_density_masked_outside_field_aabb():
     np.testing.assert_allclose(
         np.asarray(out["depth"]), np.asarray(ref["depth"]), atol=5e-3
     )
+
+def test_tiled_crop_render_bitexact_vs_flat(monkeypatch):
+    """`render_pose_cropped` feeds rays tile-major (16x16 px tiles -> one
+    256-ray block each) so the kernel's block-level empty-space skip fires
+    per tile instead of per row-band. Ray order must not change any math:
+    the tiled render must equal the flat-order render BIT-EXACTLY
+    (skipped all-miss blocks write the same zeros the march produces)."""
+    from dream2real_tpu.nerf.combined import (
+        BackgroundView, background_only_image, render_pose_cropped,
+    )
+
+    params = init_ngp_params(jax.random.PRNGKey(2), CFG)
+    res, crop = 64, 32
+    f = 0.9 * res
+    K = jnp.asarray(
+        np.array([[f, 0, res / 2], [0, f, res / 2], [0, 0, 1.0]]))
+    from dream2real_tpu.ops import cameras
+
+    dirs_cam = cameras.pixel_dirs(res, res, K)
+    settings = SETTINGS._replace(n_coarse=8)
+    # Small object box: its projection covers a fraction of the crop window
+    # so some 16x16 tiles are all-miss (the skip path actually executes).
+    obj_aabb = ((0.45, -0.06, 0.02), (0.58, 0.06, 0.12))
+    T_WC_1 = jnp.asarray(np.array(
+        [[1, 0, 0, 0.5], [0, -1, 0, 0.0], [0, 0, -1, 0.7], [0, 0, 0, 1]],
+        np.float32))
+    T_WO_1 = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.5, 0.0, 0.06]))
+    T_WO_2 = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.52, 0.015, 0.06]))
+    rng = np.random.default_rng(0)
+    bg = BackgroundView(
+        rgb=jnp.asarray(rng.uniform(size=(res, res, 3)).astype(np.float32)),
+        alpha=jnp.ones((res, res)),
+        depth=jnp.full((res, res), 0.8),
+    )
+    bg_only = background_only_image(bg)
+
+    outs = {}
+    for mode in ("16", "0"):
+        monkeypatch.setenv("D2R_MARCH_TILE", mode)
+        outs[mode] = np.asarray(render_pose_cropped(
+            params, CFG, settings, dirs_cam, K, obj_aabb, crop,
+            T_WO_1, T_WC_1, bg, bg_only, T_WO_2))
+    assert outs["16"].shape == (res, res, 3)
+    np.testing.assert_array_equal(outs["16"], outs["0"])
+    # The render must contain actual foreground (non-background pixels).
+    assert (outs["16"] != np.asarray(bg_only)).any()
