@@ -160,10 +160,10 @@ def required_crop(obj_aabb, intrinsics, res: int, T_WO_1, render_poses,
     (combined_rendering.py:121-130), so its candidates never lose pixels; the
     cropped fast path here must not silently clip either. The +2 absorbs the
     window-centre rounding in `crop_window`; rounded up to a multiple of 16
-    so the window always tiles into the march kernel's 16x16 empty-space
-    skip blocks (see `render_pose_cropped`). Free function so the engine can
-    predict the final window size BEFORE training (the scoring prefetch
-    compiles the score program at that size)."""
+    so crop*crop stays a lane multiple (the march kernel pads rays to its
+    block size either way). Free function so the engine can predict the
+    final window size BEFORE training (the scoring prefetch compiles the
+    score program at that size)."""
     render_poses = np.asarray(render_poses).reshape(-1, 4, 4)
     need = 0.0
     for T_WC_1 in render_poses:
@@ -180,15 +180,6 @@ def background_only_image(bg: BackgroundView) -> jnp.ndarray:
     res = bg.rgb.shape[0]
     empty = jnp.zeros((res, res))
     return composite_one(jnp.zeros((res, res, 3)), empty, empty, bg)
-
-
-def _parse_tile(spec: str):
-    """D2R_MARCH_TILE syntax: "0" (off), "T" (TxT), or "THxTW"."""
-    if "x" in spec:
-        th, tw = spec.split("x", 1)
-        return int(th), int(tw)
-    t = int(spec)
-    return t, t
 
 
 def render_pose_cropped(
@@ -220,46 +211,21 @@ def render_pose_cropped(
     if _use_march_kernel(fg_cfg, settings, crop):
         # Fused pallas march: per-sample activations never leave VMEM
         # (XLA lowering of the march is HBM-layout-bound, ~24% MFU measured).
+        # Rays go in flat row-major order (2048-ray row-band blocks): a
+        # tile-major reorder aimed at the kernel's block-level empty-space
+        # skip was swept in round 5 and LOST at every shape (32x64 1.40 /
+        # 32x32 1.28 / 16x16 1.63 vs flat 1.25 ms/pose — experiments/
+        # results/bench_march_tiles.json) and was deleted; the winning
+        # miss-ray lever is the kernel's early-transmittance exit
+        # (march_kernel.py, flat+early 1.24 ms/pose, default on).
         from dream2real_tpu.nerf.march_kernel import march_rays_fused
 
-        # Tile-major ray order: rays are fed to the kernel as TH x TW pixel
-        # tiles (one block each) instead of row-major flat order, so the
-        # kernel's block-level empty-space skip fires per 2D TILE. The
-        # object's silhouette covers only ~1/3 of the tight crop window
-        # (pose-0 hit fraction 0.324, r3_tpu_session.log) but spans most
-        # ROWS, so at row-band blocks (2048 rays = 16 full rows) the skip
-        # rarely fires. A reshape/transpose is free compared to the r3
-        # hits-first compaction's dynamic row-gathers (measured losing,
-        # deleted); per-ray math is untouched so outputs are BIT-EXACT vs
-        # flat order. D2R_MARCH_TILE: "THxTW", a bare "T" (TxT), or "0" for
-        # flat order (block = 2048-ray row bands).
-        tile_env = os.environ.get("D2R_MARCH_TILE", "32x64")
-        th, tw = _parse_tile(tile_env)
-        if th and crop % th == 0 and crop % tw == 0 and (th * tw) % 128 == 0:
-            gh, gw = crop // th, crop // tw
-            d_tiled = (
-                dirs.reshape(gh, th, gw, tw, 3)
-                .transpose(0, 2, 1, 3, 4)
-                .reshape(-1, 3)
-            )
-            out = march_rays_fused(
-                fg_params, fg_cfg, t, d_tiled, obj_aabb, settings,
-                block_rays=th * tw,
-            )
-
-            def _untile(x):
-                x = x.reshape((gh, gw, th, tw) + x.shape[1:])
-                x = jnp.moveaxis(x, 2, 1)
-                return x.reshape((crop, crop) + x.shape[4:])
-
-            out = {k: _untile(v) for k, v in out.items()}
-        else:
-            out = march_rays_fused(
-                fg_params, fg_cfg, t, dirs.reshape(-1, 3), obj_aabb, settings,
-            )
-            out = {
-                k: v.reshape((crop, crop) + v.shape[1:]) for k, v in out.items()
-            }
+        out = march_rays_fused(
+            fg_params, fg_cfg, t, dirs.reshape(-1, 3), obj_aabb, settings,
+        )
+        out = {
+            k: v.reshape((crop, crop) + v.shape[1:]) for k, v in out.items()
+        }
     else:
         origins = jnp.broadcast_to(t, dirs.shape)
         out = render_rays(

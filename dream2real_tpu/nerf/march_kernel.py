@@ -80,7 +80,7 @@ def _march_kernel(
     w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     wm_ref, bm_ref, csh_ref, cw1_ref, cw2_ref,
     rgb_ref, alpha_ref, depth_ref,
-    *, n_samples: int, min_transmittance: float,
+    *, n_samples: int, min_transmittance: float, early_exit: bool,
 ):
     o = o_ref[:]             # (3, 1) camera centre (shared by the block)
     d = d_ref[0]             # (3, R) world dirs, z-normalized
@@ -109,6 +109,7 @@ def _march_kernel(
             wm_ref, bm_ref, csh_ref, cw1_ref, cw2_ref,
             rgb_ref, alpha_ref, depth_ref,
             n_samples=n_samples, min_transmittance=min_transmittance,
+            early_exit=early_exit,
         )
 
 
@@ -117,7 +118,7 @@ def _march_block(
     w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     wm_ref, bm_ref, csh_ref, cw1_ref, cw2_ref,
     rgb_ref, alpha_ref, depth_ref,
-    *, n_samples: int, min_transmittance: float,
+    *, n_samples: int, min_transmittance: float, early_exit: bool,
 ):
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -212,7 +213,33 @@ def _march_block(
         jnp.zeros((1, R), f32),
         jnp.zeros((1, R), f32),
     )
-    _, acc_rgb, acc_a, acc_d = jax.lax.fori_loop(0, n_samples, body, init)
+    if early_exit:
+        # Early-transmittance exit (exact): once every LIVE ray's
+        # transmittance has dropped below min_transmittance, every remaining
+        # sample's weight is zero for every lane — live saturated rays get
+        # w = where(trans < min, 0, ...) = 0, and miss rays (t1 < t0, routed
+        # beyond far) have density masked to 0 so w = 0 regardless. Exiting
+        # the loop there changes no accumulator bit. Miss rays never decay
+        # trans, so they must not hold the loop open: the continue condition
+        # only consults live lanes.
+        live0 = t0 < t1  # (1, R)
+
+        def cond(carry):
+            s, trans = carry[0], carry[1]
+            alive = jnp.sum(
+                (live0 & (trans >= min_transmittance)).astype(jnp.int32)
+            )
+            return jnp.logical_and(s < n_samples, alive > 0)
+
+        def wbody(carry):
+            s = carry[0]
+            out = body(s, carry[1:])
+            return (s + 1,) + out
+
+        out = jax.lax.while_loop(cond, wbody, (jnp.int32(0),) + init)
+        _, acc_rgb, acc_a, acc_d = out[1:]
+    else:
+        _, acc_rgb, acc_a, acc_d = jax.lax.fori_loop(0, n_samples, body, init)
     rgb_ref[0] = acc_rgb
     alpha_ref[0] = acc_a[0]
     depth_ref[0] = acc_d[0]
@@ -279,7 +306,8 @@ def supports(cfg: NGPConfig, settings: RenderSettings) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "settings", "block_rays", "interpret"),
+    static_argnames=("cfg", "settings", "block_rays", "interpret",
+                     "early_exit"),
 )
 def march_rays_fused(
     params,
@@ -290,6 +318,7 @@ def march_rays_fused(
     settings: RenderSettings,
     block_rays: int = 2048,
     interpret: bool | None = None,
+    early_exit: bool | None = None,
 ):
     """Fused-march equivalent of render_rays(...)['rgb'/'alpha'/'depth'] for
     flat rays sharing one origin. Returns dict rgb (R,3), alpha (R,), depth (R,).
@@ -303,6 +332,13 @@ def march_rays_fused(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if early_exit is None:
+        # Default ON since round 5: bit-exact (tests/test_march_kernel.py)
+        # and benched 1.24 vs 1.25-1.88 ms/pose flat with much lower
+        # variance (experiments/results/bench_march_tiles.json).
+        import os
+
+        early_exit = os.environ.get("D2R_MARCH_EARLY", "1") == "1"
     n_rays = dirs.shape[0]
     block_rays = min(block_rays, max(128, n_rays))
     S = settings.n_coarse
@@ -378,6 +414,7 @@ def march_rays_fused(
         _march_kernel,
         n_samples=S,
         min_transmittance=settings.min_transmittance,
+        early_exit=bool(early_exit),
     )
     n_mac = R * S * (64 * 256 + 2 * 256 * 256 + 320 * 256 + 256 * 16
                      + 32 * 64 + 64 * 64 + 64 * 8)

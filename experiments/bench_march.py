@@ -1,18 +1,18 @@
-"""March-only microbench: tile-major empty-space-skip variants.
+"""March-only microbench: empty-space / early-exit variants.
 
 Times `render_pose_cropped` (the imagination loop's render half) on the real
-chip for several D2R_MARCH_TILE settings, chained inside one jit per variant
-(per-dispatch tunnel overhead ~3 ms swamps ms-scale ops — CLAUDE.md). The
-env var is read at TRACE time, so one process builds every variant.
+chip, chained inside one jit per variant (per-dispatch tunnel overhead ~3 ms
+swamps ms-scale ops — CLAUDE.md). Env knobs are read at TRACE time, so one
+process builds every variant.
 
-Variants probe WHERE the r4 16x16-tile regression came from:
-  0      flat order, block=2048 (16-row bands; the round-3 baseline)
-  2x128  row-major contiguous 256-ray blocks — NO data movement; isolates
-         pure grid-cell-count overhead (64 cells vs 8)
-  16x128 tile path but blocks == flat's row bands — isolates transpose cost
-  16x16  square tiles, 64 cells (the r4 first attempt)
-  32x32  square tiles, 16 cells
-  32x64  2D regions at flat's OWN cell count (8) — transpose cost only
+Round-5 history (results/bench_march_tiles.json, 256 poses x 3 reps,
+crop 128 / 20 samples): the r4 tile-major ray reorder LOST at every shape —
+flat 1.25 / 32x64 1.40 / 32x32 1.28 / 16x16 1.63 / 2x128 2.07 ms/pose (grid-
+cell-count overhead dominates any skip win; the r4 32x64 default was a ~4%
+end-to-end regression) — and the tile path was deleted from combined.py.
+The early-transmittance exit (D2R_MARCH_EARLY, exact) WON: 1.235-1.266
+stable vs flat's noisy 1.25-1.88, and is default-on. This script now sweeps
+the surviving knob.
 
 Usage: python experiments/bench_march.py [n_poses] [out.json]
 """
@@ -28,7 +28,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VARIANTS = ["0", "2x128", "16x128", "16x16", "32x32", "32x64"]
+VARIANTS = [("flat", "0"), ("flat", "1")]
 
 
 def main():
@@ -99,8 +99,8 @@ def main():
                         .astype(np.float32))
     n_poses = int(poses.shape[0])
 
-    def build(tile_env: str):
-        os.environ["D2R_MARCH_TILE"] = tile_env
+    def build(_tag: str, early_env: str = "0"):
+        os.environ["D2R_MARCH_EARLY"] = early_env
 
         @jax.jit
         def run(fg_params, T_WO_1, T_WC_1, bg, poses):
@@ -117,17 +117,21 @@ def main():
 
     results = {}
     acc0 = None
-    for tile_env in VARIANTS:
-        run = build(tile_env)
+    n_reps = int(os.environ.get("D2R_BENCH_MARCH_REPS", "2"))
+    for tag, early_env in VARIANTS:
+        key = tag + ("+early" if early_env == "1" else "")
+        run = build(tag, early_env)
         acc = float(run(fg_params, T_WO, T_WC, bg, poses))  # compile+warm
-        t0 = time.time()
-        acc = float(run(fg_params, T_WO, T_WC, bg, poses))  # timed (D2H sync)
-        dt = time.time() - t0
-        results[tile_env] = round(1e3 * dt / n_poses, 3)
+        times = []
+        for _ in range(n_reps):
+            t0 = time.time()
+            acc = float(run(fg_params, T_WO, T_WC, bg, poses))  # timed (D2H)
+            times.append(time.time() - t0)
+        results[key] = [round(1e3 * t / n_poses, 3) for t in times]
         if acc0 is None:
             acc0 = acc
         exact = "bitexact" if acc == acc0 else f"ACC MISMATCH {acc} vs {acc0}"
-        print(f"tile {tile_env:>7}: {results[tile_env]:7.3f} ms/pose ({exact})",
+        print(f"tile {key:>13}: {results[key]} ms/pose ({exact})",
               flush=True)
 
     out = {"n_poses": n_poses, "crop": crop,

@@ -98,12 +98,44 @@ def test_march_kernel_density_masked_outside_field_aabb():
         np.asarray(out["depth"]), np.asarray(ref["depth"]), atol=5e-3
     )
 
-def test_tiled_crop_render_bitexact_vs_flat(monkeypatch):
-    """`render_pose_cropped` feeds rays tile-major (16x16 px tiles -> one
-    256-ray block each) so the kernel's block-level empty-space skip fires
-    per tile instead of per row-band. Ray order must not change any math:
-    the tiled render must equal the flat-order render BIT-EXACTLY
-    (skipped all-miss blocks write the same zeros the march produces)."""
+def test_march_kernel_early_exit_bitexact():
+    """Early-transmittance exit (D2R_MARCH_EARLY) must be BIT-EXACT vs the
+    fixed-count loop: skipped samples all have zero composite weight. Mixed
+    block of hit + miss rays so the live-lane mask is exercised (miss rays
+    never decay transmittance and must not hold the loop open), and a high
+    min_transmittance so the exit actually fires mid-loop."""
+    params = init_ngp_params(jax.random.PRNGKey(0), CFG)
+    origin = jnp.asarray([0.5, 0.0, -0.4])
+    lo, hi = [0.3, -0.2, 0.0], [0.7, 0.2, 0.3]
+    d_hit = _rays(96, origin, lo, hi)
+    d_miss = _rays(32, origin, [5.0, 5.0, 1.0], [6.0, 6.0, 2.0])
+    d = jnp.concatenate([d_hit, d_miss])
+    march = (jnp.asarray(lo), jnp.asarray(hi))
+    st = SETTINGS._replace(min_transmittance=0.9)
+    base = march_rays_fused(
+        params, CFG, origin, d, march, st, block_rays=128, early_exit=False
+    )
+    fast = march_rays_fused(
+        params, CFG, origin, d, march, st, block_rays=128, early_exit=True
+    )
+    for k in ("rgb", "alpha", "depth"):
+        np.testing.assert_array_equal(np.asarray(base[k]), np.asarray(fast[k]))
+    # Default settings too (exit may or may not fire; equality must hold).
+    base = march_rays_fused(
+        params, CFG, origin, d, march, SETTINGS, block_rays=128, early_exit=False
+    )
+    fast = march_rays_fused(
+        params, CFG, origin, d, march, SETTINGS, block_rays=128, early_exit=True
+    )
+    for k in ("rgb", "alpha", "depth"):
+        np.testing.assert_array_equal(np.asarray(base[k]), np.asarray(fast[k]))
+
+
+def test_crop_render_early_exit_bitexact(monkeypatch):
+    """`render_pose_cropped` runs the march kernel with the round-5 default
+    early-transmittance exit; the render must equal the fixed-count loop's
+    BIT-EXACTLY. (The tile-major ray reorder this test used to cover was
+    measured losing and deleted in round 5 — bench_march_tiles.json.)"""
     from dream2real_tpu.nerf.combined import (
         BackgroundView, background_only_image, render_pose_cropped,
     )
@@ -134,12 +166,12 @@ def test_tiled_crop_render_bitexact_vs_flat(monkeypatch):
     bg_only = background_only_image(bg)
 
     outs = {}
-    for mode in ("16", "0"):
-        monkeypatch.setenv("D2R_MARCH_TILE", mode)
+    for mode in ("1", "0"):
+        monkeypatch.setenv("D2R_MARCH_EARLY", mode)
         outs[mode] = np.asarray(render_pose_cropped(
             params, CFG, settings, dirs_cam, K, obj_aabb, crop,
             T_WO_1, T_WC_1, bg, bg_only, T_WO_2))
-    assert outs["16"].shape == (res, res, 3)
-    np.testing.assert_array_equal(outs["16"], outs["0"])
+    assert outs["1"].shape == (res, res, 3)
+    np.testing.assert_array_equal(outs["1"], outs["0"])
     # The render must contain actual foreground (non-background pixels).
-    assert (outs["16"] != np.asarray(bg_only)).any()
+    assert (outs["1"] != np.asarray(bg_only)).any()
