@@ -148,28 +148,26 @@ def make_unsupcol_check(
         return jnp.any(s > occ_thresh, axis=-1)
 
     @partial(jax.jit, static_argnames=())
-    def check(pose_batch: jnp.ndarray) -> jnp.ndarray:
-        poses = pose_batch.reshape(-1, 4, 4)
+    def geom_check(poses: jnp.ndarray) -> jnp.ndarray:
+        """Collision/support/stability over a fixed-size (C, 4, 4) chunk."""
         if pose_sharding is not None:
             poses = jax.lax.with_sharding_constraint(poses, pose_sharding)
-        valid = orientation_dedup_mask(poses, oris_per_pos)
-        if disallow_regrasp:
-            valid &= regrasp_mask(poses, oris_per_pos)
-
         # Per-pose transform applied to the movable points
         # (physics_utils.py:252-253: transform = pose @ inv(init_pose)).
         tf = jnp.matmul(poses, init_inv, precision=jax.lax.Precision.HIGHEST)
         R = tf[:, :3, :3]
         t = tf[:, :3, 3]
-        pw = jnp.einsum("nij,mj->nmi", R, pts) + t[:, None, :]  # (N, M, 3)
+        pw = jnp.einsum("nij,mj->nmi", R, pts) + t[:, None, :]  # (C, M, 3)
 
-        collide = hits_world(pw)
-        valid &= ~collide
+        valid = ~hits_world(pw)
 
         # Support: lower by unsup_thresh along gravity; must collide, OR the
         # (absolute) pose is below table level (physics_utils.py:328-341).
+        # NOTE the reference's below_table tests the UNlowered absolute pose
+        # z ("abs_lower_pos" is pose_batch[idx,:3,3] despite the name,
+        # physics_utils.py:334-336) — no unsup_thresh offset here.
         low = pw + unsup_thresh * grav
-        below_table = poses[:, 2, 3] + unsup_thresh * grav[2] < table_z
+        below_table = poses[:, 2, 3] < table_z
         supported = below_table | hits_world(low)
         valid &= supported
 
@@ -182,5 +180,47 @@ def make_unsupcol_check(
             valid &= below_table | stable
 
         return valid
+
+    def check(pose_batch: jnp.ndarray) -> jnp.ndarray:
+        poses = jnp.asarray(pose_batch).reshape(-1, 4, 4)
+        n = poses.shape[0]
+        valid = orientation_dedup_mask(poses, oris_per_pos)
+        if disallow_regrasp:
+            valid &= regrasp_mask(poses, oris_per_pos)
+
+        # Shelf-scale grids (2.2M poses, /root/reference/configs/
+        # shelf_demo.json sample_res) cannot run the point-overlap test in
+        # one launch — the (N, M, 3) transformed-point tensor alone would be
+        # ~100 GB — so the geometric check streams fixed-size chunks.
+        # Orientation dedup/regrasp above already killed most poses (the
+        # reference's loop skips those too, physics_utils.py:312-313):
+        # COMPACT to survivors first, then scatter chunk results back.
+        import os
+
+        chunk = max(int(os.environ.get("D2R_PHYS_CHUNK", "32768")), 1)
+        keep_idx = np.flatnonzero(np.asarray(valid))
+        if len(keep_idx) == 0:
+            return valid
+        if n <= chunk and len(keep_idx) == n:
+            return geom_check(poses) & valid  # small all-live batch: one launch
+        survivors = poses[jnp.asarray(keep_idx)]
+        k = len(keep_idx)
+        if pose_sharding is not None:
+            # Chunks must fill the mesh quantum so every device gets rows.
+            chunk = -(-chunk // pose_sharding.mesh.size) * pose_sharding.mesh.size
+        geo = np.empty(k, bool)
+        for s in range(0, k, chunk):
+            part = survivors[s : s + chunk]
+            pad = chunk - part.shape[0]
+            if pad:
+                part = jnp.concatenate(
+                    [part,
+                     jnp.tile(jnp.eye(4, dtype=part.dtype)[None], (pad, 1, 1))]
+                )
+            res = np.asarray(geom_check(part))
+            geo[s : s + chunk - pad] = res[: chunk - pad]
+        out = np.asarray(valid).copy()
+        out[keep_idx] = geo
+        return jnp.asarray(out)
 
     return check

@@ -220,6 +220,53 @@ def test_unsupcol_check_semantics(fused_scene):
     assert valid[4], "stacked on the green box should be valid"
 
 
+def test_unsupcol_check_chunked_matches_single_launch(fused_scene, monkeypatch):
+    """Shelf-scale batches stream the geometric check in chunks after
+    dedup/regrasp compaction (collision.py::check); a chunk size smaller than
+    the survivor count must produce identical decisions to one launch."""
+    d = fused_scene
+    scene = d["scene"]
+    bg_grid = fuse_tsdf(
+        d["depths"], jnp.asarray(d["insts"] != 1), d["poses"], d["K"],
+        d["bounds"], voxel_size=0.01, erosion_kernel=1,
+    )
+    fg_grid = fuse_tsdf(
+        d["depths"], jnp.asarray(d["insts"] == 1), d["poses"], d["K"],
+        d["bounds"], voxel_size=0.01, erosion_kernel=1,
+    )
+    pts = occupied_points(
+        fg_grid, 256, mode="shell", bounds=((0.2, -0.35, 0.0), (0.85, 0.35, 0.3))
+    )
+    init_pose = np.eye(4, dtype=np.float32)
+    init_pose[:3, 3] = grid_centroid(fg_grid)
+
+    from dream2real_tpu.ops.se3 import euler_angles_to_matrix, make_pose
+
+    # 2 orientations per position (one duplicated -> dedup kills it), 24
+    # positions spanning valid/colliding/floating.
+    rng = np.random.default_rng(0)
+    c = init_pose[:3, 3]
+    t = c[None] + np.concatenate(
+        [rng.uniform(-0.2, 0.2, (24, 2)), rng.uniform(-0.02, 0.15, (24, 1))], 1
+    ).astype(np.float32)
+    eul = jnp.asarray([[0, 0, 0], [0, 0, 1e-6]])
+    R = euler_angles_to_matrix(jnp.tile(eul, (24, 1)))
+    batch = np.asarray(
+        make_pose(R, jnp.asarray(np.repeat(t, 2, axis=0)))
+    ).reshape(-1, 16)
+
+    check = make_unsupcol_check(
+        bg_grid, pts, init_pose, scene.centre, [24, 1, 1, 2, 1, 1],
+    )
+    monkeypatch.setenv("D2R_PHYS_CHUNK", "7")  # << survivors (24): 4 chunks
+    chunked = np.asarray(check(jnp.asarray(batch)))
+    monkeypatch.setenv("D2R_PHYS_CHUNK", "32768")
+    single = np.asarray(check(jnp.asarray(batch)))
+    np.testing.assert_array_equal(chunked, single)
+    assert chunked[1::2].sum() == 0, "duplicated orientations must dedup"
+    assert 0 < chunked.sum() < len(batch), "batch must exercise both outcomes"
+
+
 def test_statistical_outlier_removal():
     from dream2real_tpu.physics.poisson import remove_statistical_outliers
 
