@@ -164,7 +164,22 @@ def _fused_ln_attn_mode() -> str:
     # per-image pallas tiles).
     import os
 
-    return os.environ.get("D2R_ATTN_FUSED_LN", "1")
+    mode = os.environ.get("D2R_ATTN_FUSED_LN", "1")
+    if mode == "2":
+        # "2" was the deleted out-proj-fused mode; stale round-3 settings
+        # should keep the surviving fused-LN win, not silently fall back to
+        # the split path.
+        global _WARNED_MODE2
+        if not _WARNED_MODE2:
+            print("# D2R_ATTN_FUSED_LN=2 (removed mode) -> using 1 (fused LN)")
+            _WARNED_MODE2 = True
+        return "1"
+    if mode not in ("0", "1"):
+        raise ValueError(f"D2R_ATTN_FUSED_LN={mode!r}: expected 0 or 1")
+    return mode
+
+
+_WARNED_MODE2 = False
 
 
 def _mlp_block(x, blk, dtype=jnp.bfloat16):

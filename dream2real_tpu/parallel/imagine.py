@@ -106,7 +106,8 @@ def make_imagine_and_score(
         import os
 
         rb = int(os.environ.get("D2R_RENDER_BATCH", str(render_batch)))
-        rv = rb if use_crop and clip_batch % max(rb, 1) == 0 else 1
+        # rb <= 0 (e.g. D2R_RENDER_BATCH=0) means "no render batching".
+        rv = rb if use_crop and rb >= 1 and clip_batch % rb == 0 else 1
 
         def group_body(carry, pose_group):
             # vmap `rv` cropped renders per step: one 128^2 x 32-sample march

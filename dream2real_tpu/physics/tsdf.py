@@ -108,9 +108,19 @@ def fuse_tsdf(
         cam_z = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
         xn = cam_x / cam_z
         yn = cam_y / cam_z
+        lens_ok = True
         if dist_arr is not None:
             from dream2real_tpu.ops.cameras import distort_coords
 
+            # Forward Brown-Conrady is non-monotonic for k1 < 0: voxels far
+            # outside the calibrated field (large r^2) can fold back to
+            # in-image pixel coords and fuse depth from the wrong pixel.
+            # Mask where d(radial*r)/dr <= 0 (the radial model past its
+            # monotonic range).
+            r2 = xn * xn + yn * yn
+            k1, k2, k3 = dist_arr[0], dist_arr[1], dist_arr[4]
+            dmono = 1.0 + r2 * (3.0 * k1 + r2 * (5.0 * k2 + r2 * 7.0 * k3))
+            lens_ok = dmono > 0.0
             xn, yn = distort_coords(xn, yn, dist_arr)
         u = xn * fx + cx
         v = yn * fy + cy
@@ -120,6 +130,7 @@ def fuse_tsdf(
             (cam_z > 1e-3)
             & (u >= 0) & (u <= w - 1)
             & (v >= 0) & (v <= h - 1)
+            & lens_ok
         )
         d = depth[vi, ui]
         valid = in_frustum & (d > 0) & (d < depth_max)

@@ -155,13 +155,17 @@ def _fused_score(
             shutil.rmtree(save_dir)
         os.makedirs(save_dir)
 
-        def _write(imgs_dev, start, count):
+        def _write(imgs_box, start, count):
             # Native C++ PNG encoder (releases the GIL in the writer thread);
             # PIL fallback when libd2r_native isn't built.
             from dream2real_tpu.native import png_write
 
-            arr = np.asarray(imgs_dev)[:count]
-            del imgs_dev  # free the HBM buffer before the (slow) encode
+            arr = np.asarray(imgs_box[0])[:count]
+            # Free the HBM buffer before the (slow) encode. The buffer is
+            # passed in a one-element list so clearing it here actually drops
+            # the last reference (a plain arg would stay pinned in the
+            # executor's args tuple for the whole encode).
+            imgs_box.clear()
             for j in range(count):
                 path = os.path.join(save_dir, f"cb_rgb_{start + j:04d}.png")
                 if not png_write(path, arr[j]):
@@ -195,7 +199,8 @@ def _fused_score(
         nonlocal pending_img_bytes, peak_pending
         start, n, scores_dev, imgs_dev = entry
         if imgs_dev is not None:
-            futures.append(writer.submit(_write, imgs_dev, start, n))
+            futures.append(writer.submit(_write, [imgs_dev], start, n))
+            del imgs_dev
             pending_img_bytes -= img_bytes
             # The device buffer stays alive until the writer THREAD has
             # fetched it, so the cap must bound the writer backlog too:
