@@ -36,11 +36,13 @@ oracle gates to pass; --noise = the SAME xyz validation on a real-scan
 rehearsal (synth.DEFAULT_NOISE: RGB/depth sensor noise, depth holes, SE(3)
 pose jitter on the written poses) with joint extrinsics optimisation ON —
 the gates then cover noisy-scan training + pose refinement end-to-end.
+--combined = every stressor at once (rect 6-DoF grid + distortion + noise +
+extrinsics opt ON) — the closest hermetic proxy to a real handheld scan.
 First positional arg = data dir (artifacts are cached per stage and
 replayed when present).
 
 Run (real TPU; ~15 min fresh, ~8 min cached):
-  python experiments/validate_synth_argmax.py [dir] [--rect | --distort | --noise]
+  python experiments/validate_synth_argmax.py [dir] [--rect | --distort | --noise | --combined]
 """
 
 from __future__ import annotations
@@ -89,9 +91,17 @@ def main():
     rect = "--rect" in sys.argv
     distort = "--distort" in sys.argv
     noisy = "--noise" in sys.argv
-    assert rect + distort + noisy <= 1, (
-        "--rect / --distort / --noise are separate modes"
+    combined = "--combined" in sys.argv
+    assert rect + distort + noisy + combined <= 1, (
+        "--rect / --distort / --noise / --combined are separate modes"
     )
+    if combined:
+        # Every rehearsal stressor at once — the closest hermetic proxy to a
+        # real handheld scan (reference README.md:77-91): rectangular-movable
+        # 6-DoF grid with a yaw axis, Brown-Conrady lens distortion, sensor
+        # noise + depth holes + SE(3) pose jitter, and joint extrinsics
+        # optimisation ON to recover the jittered poses.
+        rect = distort = noisy = True
     data_dir = args[0] if args else tempfile.mkdtemp(prefix="d2r_validate_")
     # --rect: rectangular-footprint movable box + a 6-DoF grid with a yaw
     # axis {0, 90 deg} — validates the ORIENTATION path (euler grids,
@@ -413,9 +423,9 @@ def main():
     print(f"PSNR check (>=22 dB): {'PASS' if ok_psnr else 'FAIL'}", flush=True)
     print(f"argmax-parity check: {'PASS' if ok_argmax else 'FAIL'}", flush=True)
     out = {
-        "mode": "rect6dof" if rect else (
+        "mode": "combined" if combined else ("rect6dof" if rect else (
             "xyz_distort" if distort else ("xyz_noise" if noisy else "xyz")
-        ),
+        )),
         "psnr_db": round(psnr, 2),
         "argmax_t2": [round(float(v), 4) for v in t_raw],
         "argmax_idx": mi_raw.tolist(),
