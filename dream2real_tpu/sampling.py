@@ -16,10 +16,7 @@ from __future__ import annotations
 
 import math
 
-import jax.numpy as jnp
 import numpy as np
-
-from dream2real_tpu.ops.se3 import cartesian_prod_6, euler_angles_to_matrix
 
 # Per-scene-type sampling bounds relative to scene_centre:
 # ((x_lo, x_hi), (y_lo, y_hi), (z_lo, z_hi), 3x orientation ranges).
@@ -45,7 +42,7 @@ def sample_poses_grid(
     sample_res=(40, 40, 1, 1, 1, 1),
     scene_type: int = 0,
     bounds_override=None,
-) -> jnp.ndarray:
+) -> np.ndarray:
     """6-DoF grid of candidate world-frame poses for the movable object.
 
     Returns (prod(sample_res), 16) float32 — flattened homogeneous matrices,
@@ -64,21 +61,50 @@ def sample_poses_grid(
         ori_rngs = b[3:6]
 
     cx, cy, cz = (float(scene_centre[i]) for i in range(3))
+    # Host-side numpy on purpose: this is setup work, and the eager-jnp
+    # version paid device dispatch + a (N, 16) D2H round-trip over the
+    # tunnel (measured 12-21 s at 70k poses, minutes at the 2.2M shelf
+    # grid). float64 compute cast to float32 stays within the parity
+    # tolerance vs torch.linspace/pytorch3d (tests/test_sampling_smoothing.py).
     axes = [
-        jnp.linspace(x_rng[0] + cx, x_rng[1] + cx, int(sample_res[0])),
-        jnp.linspace(y_rng[0] + cy, y_rng[1] + cy, int(sample_res[1])),
-        jnp.linspace(z_rng[0] + cz, z_rng[1] + cz, int(sample_res[2])),
-        jnp.linspace(ori_rngs[0][0], ori_rngs[0][1], int(sample_res[3])),
-        jnp.linspace(ori_rngs[1][0], ori_rngs[1][1], int(sample_res[4])),
-        jnp.linspace(ori_rngs[2][0], ori_rngs[2][1], int(sample_res[5])),
+        np.linspace(x_rng[0] + cx, x_rng[1] + cx, int(sample_res[0])),
+        np.linspace(y_rng[0] + cy, y_rng[1] + cy, int(sample_res[1])),
+        np.linspace(z_rng[0] + cz, z_rng[1] + cz, int(sample_res[2])),
+        np.linspace(ori_rngs[0][0], ori_rngs[0][1], int(sample_res[3])),
+        np.linspace(ori_rngs[1][0], ori_rngs[1][1], int(sample_res[4])),
+        np.linspace(ori_rngs[2][0], ori_rngs[2][1], int(sample_res[5])),
     ]
-    combos = cartesian_prod_6(axes)  # (N, 6), last axis fastest.
+    # torch.cartesian_prod semantics: last axis fastest (obj_pose_opt.py:47).
+    grids = np.meshgrid(*axes, indexing="ij")
+    combos = np.stack([g.reshape(-1) for g in grids], axis=-1)
     n = combos.shape[0]
-    rot = euler_angles_to_matrix(combos[:, 3:], "XYZ")
-    poses = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (n, 1, 1))
-    poses = poses.at[:, :3, :3].set(rot.astype(jnp.float32))
-    poses = poses.at[:, :3, 3].set(combos[:, :3].astype(jnp.float32))
+    rot = _np_euler_xyz_to_matrix(combos[:, 3], combos[:, 4], combos[:, 5])
+    poses = np.tile(np.eye(4, dtype=np.float32)[None], (n, 1, 1))
+    poses[:, :3, :3] = rot.astype(np.float32)
+    poses[:, :3, 3] = combos[:, :3].astype(np.float32)
     return poses.reshape(-1, 16)
+
+
+def _np_euler_xyz_to_matrix(a, b, c):
+    """Batched R = Rx(a) @ Ry(b) @ Rz(c), pytorch3d "XYZ" convention.
+
+    Mirrors ops.se3.euler_angles_to_matrix (parity-tested against pytorch3d)
+    but in host numpy — closed form of the Rx@Ry@Rz product.
+    """
+    ca, sa = np.cos(a), np.sin(a)
+    cb, sb = np.cos(b), np.sin(b)
+    cc, sc = np.cos(c), np.sin(c)
+    rot = np.empty(a.shape + (3, 3), dtype=np.float64)
+    rot[..., 0, 0] = cb * cc
+    rot[..., 0, 1] = -cb * sc
+    rot[..., 0, 2] = sb
+    rot[..., 1, 0] = sa * sb * cc + ca * sc
+    rot[..., 1, 1] = -sa * sb * sc + ca * cc
+    rot[..., 1, 2] = -sa * cb
+    rot[..., 2, 0] = -ca * sb * cc + sa * sc
+    rot[..., 2, 1] = ca * sb * sc + sa * cc
+    rot[..., 2, 2] = ca * cb
+    return rot
 
 
 def get_virtual_cam_poses(opt_cam_poses, render_cam_pose_idx) -> np.ndarray:

@@ -53,7 +53,7 @@ def _slab_spec(clip_batch: int, n_poses: int):
 def _fused_score(
     renderer, clip_scorer, tokenizer, task_model, valid_poses, render_poses,
     depths_gt, movable_masks, T_WO_1, use_templates, save_renders=False,
-    prefetch=None,
+    prefetch=None, tail_warm=None,
 ):
     """On-device render->composite->CLIP scoring (no per-render D2H).
 
@@ -194,6 +194,7 @@ def _fused_score(
     peak_pending = 0
     img_bytes = slab * renderer.res * renderer.res * 3
     MAX_PENDING = int(os.environ.get("D2R_RENDER_PENDING_MB", "1536")) * 2**20
+    t_dispatch0 = time.time()
 
     def _drain(entry):
         nonlocal pending_img_bytes, peak_pending
@@ -240,10 +241,35 @@ def _fused_score(
             _drain(pending.pop(0))
         if s == 0:
             _lap("first slab (dispatch)")
+            if tail_warm is not None:
+                # Compile the tail programs (best-render re-render, smoothing)
+                # on the otherwise-idle host while the device chews through
+                # the remaining slabs. XLA compilation is host-side work; at
+                # reference scale the un-warmed tail compiles cost ~1/4 of
+                # the whole run (see PERF.md round 5).
+                import threading
+
+                threading.Thread(target=tail_warm, daemon=True).start()
+    t_drain0 = time.time()
+    if save_dir is None and len(pending) > 1 and os.environ.get(
+        "D2R_SCORE_FETCH_CONCAT", "1"
+    ) == "1":
+        # One device-side concat + ONE D2H instead of a latency-bound fetch
+        # per slab (the tunneled runtime pays a host-sync floor per transfer;
+        # at 70k poses that is ~274 round-trips for ~1 KB each). Each entry's
+        # valid prefix is sliced device-side so pad-carrying slabs (the final
+        # one, or every one when slab % quantum != 0) stay aligned.
+        out[:] = np.asarray(
+            jnp.concatenate([e[2][: e[1]] for e in pending])
+        )
+        pending.clear()
     while pending:
         _drain(pending.pop(0))
     _lap("all slabs (compute + score/render D2H)")
     LAST_RUN_INFO["peak_pending_mb"] = round(peak_pending / 2**20, 1)
+    LAST_RUN_INFO["dispatch_s"] = round(t_drain0 - t_dispatch0, 2)
+    LAST_RUN_INFO["drain_s"] = round(time.time() - t_drain0, 2)
+    LAST_RUN_INFO["n_slabs"] = -(-k // slab)
     if writer is not None:
         for f in futures:
             f.result()  # surface writer-thread exceptions
@@ -281,6 +307,19 @@ def optimise_pose_grid(
     demo config (render_cam_pose_idx=[0]; with multiple views the reference's
     own score scatter at clip_scoring.py:205-206 would shape-mismatch).
     """
+    import time
+
+    perf = os.environ.get("D2R_PERF_LOG") == "1"
+    stage_s: dict = {}
+    _t = time.time()
+
+    def _lap(tag):
+        nonlocal _t
+        stage_s[tag] = round(time.time() - _t, 2)
+        if perf:
+            print(f"# optimise_pose_grid {tag}: {stage_s[tag]:.2f}s", flush=True)
+        _t = time.time()
+
     if sample_res is None:
         sample_res = [40, 40, 1, 1, 1, 1]
     scene_model = task_model.scene_model
@@ -291,6 +330,7 @@ def optimise_pose_grid(
         )
     )
     n = pose_batch.shape[0]
+    _lap("sample_grid")
 
     if use_cache_renders:
         print("Using cached renders")
@@ -325,6 +365,7 @@ def optimise_pose_grid(
             is_valid = np.ones(n, bool)
         valid_idxs = np.nonzero(is_valid)[0]
         valid_poses = pose_batch[valid_idxs]
+        _lap("phys_check")
         print(
             f"Of {n} sampled poses, {len(valid_idxs)} passed pre-render checks "
             f"({100 * len(valid_idxs) / n:.2f}%)."
@@ -374,12 +415,39 @@ def optimise_pose_grid(
         )
         if fused:
             print(f"Fused imagine-and-score over {len(valid_poses)} poses...")
+
+            def _tail_warm():
+                # Warm (trace + compile + one tiny execute) the two programs
+                # the post-scoring tail needs — the best-render re-render and
+                # the smoothing conv — so they are cache hits when the slab
+                # loop finishes. Runs on a background thread overlapped with
+                # the slab compute; failures are non-fatal (the tail would
+                # just compile inline as before).
+                try:
+                    if smoothing:
+                        np.asarray(spatially_smooth_heatmap(
+                            jnp.zeros(n, jnp.float32), sample_res))
+                    renderer.render(
+                        valid_poses[:1], render_poses, render_cam_pose_idx,
+                        depths_gt=depths_gt, movable_masks=movable_masks,
+                        T_WO_1=T_WO_1, save=False,
+                    )
+                except Exception as e:  # pragma: no cover - best-effort warm
+                    print(f"# tail_warm failed (non-fatal): {e!r}", flush=True)
+
+            tail_warm = (
+                _tail_warm
+                if os.environ.get("D2R_TAIL_WARM", "1") == "1"
+                else None
+            )
             scores_valid = _fused_score(
                 renderer, clip_scorer, tokenizer, task_model, valid_poses,
                 render_poses, depths_gt, movable_masks, T_WO_1, use_templates,
                 save_renders=save_renders, prefetch=prefetch,
+                tail_warm=tail_warm,
             )
             renders = None
+            _lap("fused_score")
         elif use_vis_pcds:
             # Point-cloud ablation renderer signature (clip_scoring.py:131).
             print(f"Rendering {len(valid_poses)} imagined scenes (pcd)...")
@@ -424,6 +492,7 @@ def optimise_pose_grid(
         pose_scores = np.asarray(
             spatially_smooth_heatmap(jnp.asarray(pose_scores), sample_res)
         )
+        _lap("smoothing")
     LAST_RUN_INFO["smoothed_scores"] = pose_scores.copy()
 
     best_pose_idx = int(np.argmax(pose_scores))
@@ -444,10 +513,13 @@ def optimise_pose_grid(
             T_WO_1=np.asarray(task_model.movable_obj.pose),
             save=False,
         )[0]
+    _lap("best_render")
 
     from PIL import Image
 
     Image.fromarray(np.asarray(best_render)).save(
         os.path.join(data_dir, "best_render.png")
     )
+    _lap("artifacts")
+    LAST_RUN_INFO["stage_s"] = stage_s
     return best_pose.reshape(4, 4), pose_batch, pose_scores

@@ -151,6 +151,10 @@ def main():
         "scores_nonzero": int((pose_scores != 0).sum()),
         "best_pose_t": [round(float(v), 4) for v in best_pose[:3, 3]],
         "grid": sample_res,
+        "stage_s": info.get("stage_s"),
+        "dispatch_s": info.get("dispatch_s"),
+        "drain_s": info.get("drain_s"),
+        "n_slabs": info.get("n_slabs"),
     }
     print(json.dumps(out), flush=True)
     assert np.isfinite(pose_scores).all()
