@@ -197,7 +197,10 @@ def make_unsupcol_check(
         # COMPACT to survivors first, then scatter chunk results back.
         import os
 
-        chunk = max(int(os.environ.get("D2R_PHYS_CHUNK", "32768")), 1)
+        # 16384 measured: a 32768 chunk OOMs XLA compile at shelf scale on
+        # 16 GB v5e HBM (19.15 GB of HLO temps requested, 2026-08 run log);
+        # halving fits with headroom and the launch stays ms-scale.
+        chunk = max(int(os.environ.get("D2R_PHYS_CHUNK", "16384")), 1)
         keep_idx = np.flatnonzero(np.asarray(valid))
         if len(keep_idx) == 0:
             return valid

@@ -212,7 +212,7 @@ def main():
         "n_valid": n_valid,
         "phys_wall_s": round(t_phys, 1),
         "phys_poses_per_s": round(n / t_phys, 1),
-        "phys_chunk": int(os.environ.get("D2R_PHYS_CHUNK", "32768")),
+        "phys_chunk": int(os.environ.get("D2R_PHYS_CHUNK", "16384")),
         "n_scored": n_scored,
         "score_subsampled": subsampled,
         "score_wall_s": round(t_score, 1),
