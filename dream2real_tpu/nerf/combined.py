@@ -122,8 +122,6 @@ def crop_extents(obj_aabb, intrinsics, res: int, T_WO_1, T_WC_1, poses):
     >= ceil(extent) is guaranteed to cover the in-frame projection (the
     window clamp at the frame border only re-centres, never cuts, once the
     extent fits)."""
-    from dream2real_tpu.ops.se3 import convert_virtual_pose, pose_inverse
-
     lo = np.asarray(obj_aabb[0], np.float64)
     hi = np.asarray(obj_aabb[1], np.float64)
     corners = np.stack(
@@ -134,15 +132,26 @@ def crop_extents(obj_aabb, intrinsics, res: int, T_WO_1, T_WC_1, poses):
     poses = np.asarray(poses, np.float64).reshape(-1, 4, 4)
     T_WO_1 = np.asarray(T_WO_1, np.float64)
     T_WC_1 = np.asarray(T_WC_1, np.float64)
-    # Virtual camera per candidate: T_WC_2 = T_WO_2 @ inv(T_WO_1) @ T_WC_1.
-    T_WC_2 = np.asarray(
-        jax.vmap(lambda T: convert_virtual_pose(
-            jnp.asarray(T_WO_1), jnp.asarray(T), jnp.asarray(T_WC_1)
-        ))(jnp.asarray(poses.astype(np.float32)))
-    ).astype(np.float64)
-    T_CW = np.asarray(
-        jax.vmap(pose_inverse)(jnp.asarray(T_WC_2.astype(np.float32)))
-    ).astype(np.float64)
+
+    # Host-side numpy throughout: this guard runs once over the FULL candidate
+    # batch before scoring, and the former eager-vmap version paid two device
+    # round-trips of (K, 4, 4) each way over the tunnel (~20 s of the 70k
+    # refscale run, refscale_opt_r5.json). Plain 4x4 algebra vectorises fine.
+    def _inv(T):  # rigid inverse, (..., 4, 4)
+        Rt = np.swapaxes(T[..., :3, :3], -1, -2)
+        out = np.zeros_like(T)
+        out[..., :3, :3] = Rt
+        out[..., :3, 3] = -np.einsum("...ij,...j->...i", Rt, T[..., :3, 3])
+        out[..., 3, 3] = 1.0
+        return out
+
+    # Virtual camera per candidate (ops/se3.py::convert_virtual_pose,
+    # combined_rendering.py:250-263): T_WC_2 = T_WO_1 @ inv(T_WO_2) @ T_WO_1
+    # @ inv(T_WO_1) @ T_WC_1 = T_WO_1 @ inv(T_WO_2) @ T_WC_1.
+    T_WC_2 = np.einsum(
+        "ij,kjl,lm->kim", T_WO_1, _inv(poses), T_WC_1
+    )
+    T_CW = _inv(T_WC_2)
     cam = np.einsum("kij,cj->kci", T_CW[:, :3, :3], corners) + T_CW[:, None, :3, 3]
     z = np.maximum(cam[..., 2], 1e-2)
     K = np.asarray(intrinsics, np.float64)

@@ -220,15 +220,22 @@ def _fused_score(
                 futures.pop(0).result()
         out[start : start + n] = np.asarray(scores_dev)[:n]
 
+    # One H2D for the whole pose batch, sliced per slab DEVICE-side: the
+    # former per-slab jnp.asarray(chunk) paid one tunnel-latency H2D per
+    # dispatch (~32 ms x 274 slabs at reference scale). Padding the tail to
+    # `quantum` up front keeps every dispatch shape identical to before
+    # (slab is a quantum multiple, _slab_spec).
+    pad_total = (-k) % quantum
+    if pad_total:
+        poses = np.concatenate(
+            [poses, np.tile(np.eye(4, dtype=np.float32)[None], (pad_total, 1, 1))]
+        )
+    poses_dev = jnp.asarray(poses)
     for s in range(0, k, slab):
-        chunk = poses[s : s + slab]
-        n = len(chunk)
-        pad = (-n) % quantum
-        if pad:
-            chunk = np.concatenate([chunk, np.tile(np.eye(4, dtype=np.float32)[None], (pad, 1, 1))])
+        n = min(slab, k - s)
         result = score_fn(
             renderer.fg_params, clip_scorer.params, T_WO, T_WC, bg,
-            txt, jnp.asarray(chunk),
+            txt, poses_dev[s : s + min(slab, len(poses) - s)],
         )
         if save_dir is not None:
             scores, imgs = result

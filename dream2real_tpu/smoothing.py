@@ -13,6 +13,9 @@ scoring program, on-device, instead of the reference's CPU round-trip.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from dream2real_tpu.ops.image import gaussian_blur
@@ -21,7 +24,18 @@ from dream2real_tpu.ops.image import gaussian_blur
 def spatially_smooth_heatmap(
     pose_scores: jnp.ndarray, sample_res, sigma: float = 0.7
 ) -> jnp.ndarray:
-    """pose_scores: (prod(sample_res),) -> smoothed scores, same shape."""
+    """pose_scores: (prod(sample_res),) -> smoothed scores, same shape.
+
+    Jitted into ONE program: the eager op chain paid ~15 separate device
+    dispatches over the tunneled runtime (~10 s at reference scale even with
+    every mini-program compile-cached, refscale_opt_r5.json); as one cached
+    executable the warmed call is a single dispatch + one tiny D2H.
+    """
+    return _smooth_jit(pose_scores, tuple(int(r) for r in sample_res), sigma)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _smooth_jit(pose_scores: jnp.ndarray, sample_res, sigma) -> jnp.ndarray:
     res = [int(r) for r in sample_res]
     n_xy = res[0] * res[1]
     n_rest = res[2] * res[3] * res[4] * res[5]
