@@ -60,6 +60,22 @@ class TrainConfig:
     # expected ray depth recovers NGP-class convergence speed for the pure-MLP
     # field). 0 disables.
     depth_weight: float = 0.1
+    # Free-space carving (RGB-D): the depth camera saw THROUGH every point
+    # strictly in front of the observed surface, so density there must be
+    # ~zero for any field trained on the scan. Plain RGB + expected-depth
+    # supervision tolerates a near-camera "billboard" minimum (the huber
+    # depth gradient is magnitude-capped): observed on the combined
+    # noise+distortion rehearsal, where the movable fg field collapsed to
+    # per-camera shells at t~0.16 (gt ~0.75) and rendered empty inside the
+    # crop march box. Role parity: instant-ngp prunes its occupancy grid
+    # against depth when fed RGB-D; this is the sampling-based equivalent
+    # for the TPU marcher. Applied ONLY to masked task fields (fg_pixels
+    # given): that alpha-masked supervision is what underconstrains
+    # geometry; on the fully-supervised scene field the term just slows
+    # fitting (governor-visible: 600-step loss ratio 0.55 vs 0.45 on the
+    # synthetic tabletop) with no failure mode to prevent. 0 disables.
+    freespace_weight: float = 0.1
+    freespace_samples: int = 8
     # Convergence governor (train_ngp.py:95-97).
     stable_polls_thresh: int = 50
     stable_loss_thresh: float = 2e-4
@@ -289,14 +305,57 @@ def make_train_chunk(
             loss = loss + tc.depth_weight * jnp.mean(
                 optax.huber_loss(d_err, delta=0.05)
             )
-        return loss
+        # The governor (and the reference's train_ngp.py:95-97 semantics it
+        # mirrors) tracks FITTING progress; the free-space regularizer below
+        # carries a slowly-decaying residual near surfaces that would blunt
+        # the relative-delta convergence test, so it contributes to the
+        # GRADIENT only and the task loss is what gets reported.
+        task_loss = loss
+        if depths is not None and fg_pixels is not None and tc.freespace_weight > 0:
+            # Free-space carving (see TrainConfig.freespace_weight): sample
+            # uniformly in [near, 0.9*gt_d] along every valid-depth ray and
+            # penalise expected opacity there. Density-only trunk evals
+            # (~freespace_samples / (n_coarse + n_fine) extra field FLOPs);
+            # applies to BOTH the fused-kernel and XLA paths as a separate
+            # autodiffed term.
+            from dream2real_tpu.nerf.model import density_fn
+
+            # Carving shapes the FIELD only: stop_gradient the ray geometry,
+            # or the term backprops into ext_rot/ext_trans with a perverse
+            # incentive — shifting a camera slides its rays off density and
+            # lowers the penalty without fixing anything. Measured on the
+            # combined noise+distortion rehearsal: with this path live,
+            # extrinsics opt DIVERGED from 5.8 mm / 0.66 deg jitter to
+            # 20.9 mm / 1.38 deg vs truth.
+            o_sg = jax.lax.stop_gradient(origins)
+            d_sg = jax.lax.stop_gradient(dirs)
+            gt_free = depths[img_idx, py, px]
+            S = tc.freespace_samples
+            t_hi = jnp.maximum(gt_free * 0.9, settings.near)
+            u = jax.random.uniform(
+                jax.random.fold_in(k_render, 7), (gt_free.shape[0], S)
+            )
+            t_free = settings.near + u * (t_hi - settings.near)[:, None]
+            pos_f = o_sg[:, None, :] + d_sg[:, None, :] * t_free[..., None]
+            sigma_f, _ = density_fn(
+                params["field"], pos_f, cfg, settings.compute_dtype
+            )
+            # Expected opacity of one sampled step (metric length via |d|).
+            d_norm = jnp.linalg.norm(d_sg, axis=-1)
+            dt = (t_hi - settings.near) / S * d_norm
+            occ = 1.0 - jnp.exp(-sigma_f * dt[:, None])
+            fmask = (gt_free > 0).astype(jnp.float32)[:, None]
+            loss = loss + tc.freespace_weight * jnp.mean(occ * fmask)
+        return loss, task_loss
 
     tx = _make_optimizer(tc)
 
     def one_step(carry, _):
         params, opt, step, key = carry
         key, sub = jax.random.split(key)
-        loss, grads = jax.value_and_grad(loss_fn)(params, sub, step)
+        (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, sub, step
+        )
         if shard_train:
             # Combine the per-device slices' grads; the optimizer update then
             # runs replicated (identical on every device).

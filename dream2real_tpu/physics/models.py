@@ -122,6 +122,23 @@ def get_phys_models(
     else:
         depths_used, poses_used, masks_used = depths, poses_arr, masks_np
 
+    # Bullet-contact parity: the reference's support/stability tests fire on
+    # penetration of the SURFACE meshes — including the tabletop
+    # (physics_utils.py:330-341, pairwise_collision after lowering by
+    # unsup_thresh). The SDF equivalent needs solid voxels BEHIND that
+    # surface, but configs put scene_bounds z_min AT table level, cutting
+    # the table's behind-surface band out of the grid entirely (measured:
+    # support collapsed to ~1% valid on the synth validation grids, where
+    # ~38% is correct). Fuse the PHYSICS grids with the z floor dropped by
+    # one truncation band (3 voxels) + the 2 cm unsup_thresh so lowered
+    # contact points land inside the solid shell; meshes/points are still
+    # cropped to the caller's bounds, so artifacts are unchanged.
+    z_pad = 3.0 * voxel_size + 0.02 + voxel_size  # trunc + unsup + margin
+    fuse_bounds = [
+        [scene_bounds[0][0], scene_bounds[0][1], scene_bounds[0][2] - z_pad],
+        list(scene_bounds[1]),
+    ]
+
     handles, init_poses = [], []
     for obj_id in range(num_objs):
         erosion = 20 if obj_id == 0 else 8  # physics_utils.py:77-80
@@ -130,7 +147,7 @@ def get_phys_models(
             jnp.asarray(masks_used == obj_id),
             poses_used,
             K,
-            scene_bounds,
+            fuse_bounds,
             voxel_size=voxel_size,
             erosion_kernel=erosion,
             distortion=distortion,
