@@ -116,6 +116,13 @@ class ImaginationEngine:
                 cache_path=os.path.join(self.data_dir, "captions.json"),
                 backend=caption_backend,
             )
+        # Hole inpainting (dream2real.py:84-87): the reference constructs
+        # the SD-2 inpaint pipeline at init when the flag is set and never
+        # calls it downstream (load-only). We mirror the flag->construction
+        # contract lazily (perception/diffusion.py gates the checkpoint and
+        # falls back to telea) and additionally expose inpaint_images() so
+        # the path is actually drivable.
+        self.inpaint_holes = bool(getattr(cfg, "inpaint_holes", False))
         self.lang_model = LangModel(
             cache_path=os.path.join(self.data_dir, "lang_cache.json")
             if os.path.exists(os.path.join(self.data_dir, "lang_cache.json"))
@@ -158,6 +165,11 @@ class ImaginationEngine:
                 use_cache=self.use_cache_dynamic_masks,
                 distortion=self.distortion,
             )
+        if self.inpaint_holes:
+            # Fill sensor holes before segmentation/captioning consume the
+            # frames (the reference gates its inpainter on this flag but
+            # leaves it uncalled — see inpaint_images).
+            rgbs = self.inpaint_images(rgbs)
         self.depths_gt = np.stack(
             [np.asarray(depths[i]) for i in self.render_cam_pose_idx]
         )
@@ -256,6 +268,30 @@ class ImaginationEngine:
         )
 
     # ------------------------------------------------------------------
+
+    def inpaint_images(self, rgbs, masks=None):
+        """Fill scan holes in RGB frames when cfg.inpaint_holes is set.
+
+        Parity+: the reference constructs its SD-2 inpainter under this
+        flag but never invokes it (dream2real.py:84-87 — load-only); here
+        the flag gates an actually-drivable path. masks: optional per-frame
+        (H, W) hole masks; None auto-detects white holes
+        (reference diffusion.py:24-27). SD-2 runs only with a local
+        checkpoint; otherwise a deterministic telea fill is used
+        (perception/diffusion.py).
+        """
+        rgbs = np.asarray(rgbs)
+        if not self.inpaint_holes:
+            return rgbs
+        from dream2real_tpu.perception.diffusion import inpaint
+
+        with self.stage_timer.stage("inpaint_holes"):
+            out = [
+                inpaint(rgbs[i],
+                        None if masks is None else np.asarray(masks[i]))
+                for i in range(len(rgbs))
+            ]
+        return np.stack(out)
 
     def determine_movable_obj(self, user_instr):
         obj_captions = [obj.name for obj in self.scene_model.objs]

@@ -43,3 +43,27 @@ def test_random_clip_opt_in(monkeypatch):
     assert scorer.batch_size == 8
     ids = np.asarray(tokenizer(["a red box"]))
     assert ids.ndim == 2
+
+
+def test_inpaint_holes_wiring():
+    """cfg.inpaint_holes gates ImaginationEngine.inpaint_images: off =
+    bit-exact passthrough, on = white scan holes get filled (telea fallback
+    when no SD-2 checkpoint is present). The reference constructs its
+    inpainter under this flag but never calls it (dream2real.py:84-87)."""
+    from dream2real_tpu.utils.profiling import StageTimer
+
+    rgb = np.full((2, 48, 48, 3), 90, np.uint8)
+    rgb[:, 20:28, 20:28] = 255  # white hole (reference diffusion.py:24-27)
+
+    eng = ImaginationEngine.__new__(ImaginationEngine)
+    eng.stage_timer = StageTimer()
+    eng.inpaint_holes = False
+    assert np.array_equal(eng.inpaint_images(rgb), rgb)
+
+    eng.inpaint_holes = True
+    out = eng.inpaint_images(rgb)
+    assert out.shape == rgb.shape and out.dtype == np.uint8
+    hole = out[:, 20:28, 20:28]
+    assert not np.all(hole > 200), "hole pixels must be filled"
+    # Non-hole pixels untouched by the classical fill.
+    assert np.array_equal(out[:, :10, :10], rgb[:, :10, :10])
